@@ -1,0 +1,49 @@
+"""Checkpoint save/restore for the functional train state.
+
+Replaces the reference's ``torch.save({'epoch', 'state_dict', 'optimizer'})``
+per-epoch checkpoints (reference tools/train.py:317-348) with msgpack-encoded
+pytrees written atomically. Restore is shape-checked against a template state
+(reference tools/train.py:270-290 resume path).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def save_checkpoint(path: str, state: Any, epoch: int) -> None:
+    """Atomically write {epoch, state} to ``path``."""
+    host_state = jax.device_get(state)
+    payload = {
+        "epoch": np.int64(epoch),
+        "state": serialization.to_state_dict(host_state),
+    }
+    blob = serialization.msgpack_serialize(payload)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path: str, template_state: Any) -> Tuple[Any, int]:
+    """Restore a state saved by ``save_checkpoint``; returns (state, epoch)."""
+    with open(path, "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+    epoch = int(raw["epoch"])
+    state = serialization.from_state_dict(template_state, raw["state"])
+    return state, epoch
+
+
+def maybe_resume(final_output_dir: str, template_state: Any,
+                 filename: str = "checkpoint.msgpack"
+                 ) -> Tuple[Optional[Any], int]:
+    """Resume from ``final_output_dir/filename`` if present (train.py:270-290)."""
+    path = os.path.join(final_output_dir, filename)
+    if os.path.isfile(path):
+        return load_checkpoint(path, template_state)
+    return None, 0
