@@ -1,0 +1,90 @@
+"""Headline benchmark: predicted frames/sec/chip on the flagship VAE^2 model.
+
+Measures the stochastic-inference hot path (one prior-sampled rollout =
+encoder + both decoders at 128x256, the workload of tools/inference.py;
+reference lib/core/function.py:124-146) with samples folded into the batch
+axis, bf16 on the MXU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+``vs_baseline`` compares against an *estimated* reference throughput, since
+the reference publishes no numbers (BASELINE.md): the same forward's FLOPs
+(from XLA cost analysis) executed at 35% FP32 utilization of a V100
+(15.7 TFLOP/s peak -> 5.5 TFLOP/s effective), the hardware class implied by
+the reference's 4-GPU recipes. The north-star target is vs_baseline >= 5.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+CHUNK = 16  # prior samples folded per forward
+ITERS = 20
+H, W = 128, 256
+
+
+def main():
+    from vae2_tpu.config import get_default_config
+    from vae2_tpu.core.builder import build_system
+    from vae2_tpu.core.infer_loop import make_prior_sampler
+
+    cfg = get_default_config()  # flagship HRNet-W18-small-v2, hd_z z=32
+    system = build_system(cfg)
+
+    rng = jax.random.PRNGKey(0)
+    batch = {
+        k: jnp.zeros((1, H, W, 9), jnp.float32)
+        for k in ("xt", "x2t", "x3t")
+    }
+    state = system.init(rng, batch)
+
+    sampler = make_prior_sampler(system, chunk=CHUNK, height=H, width=W)
+    xt = jnp.asarray(
+        np.random.RandomState(0).randint(0, 255, (1, H, W, 9), np.uint8))
+    x2t = jnp.asarray(
+        np.random.RandomState(1).randint(0, 255, (1, H, W, 9), np.uint8))
+
+    # compile + warmup
+    compiled = sampler.lower(state, xt, x2t, rng).compile()
+    flops = None
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        pass
+
+    out = sampler(state, xt, x2t, rng)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        rng, k = jax.random.split(rng)
+        out = sampler(state, xt, x2t, k)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    # 9 output frames per rollout (x1/x2/x3 clips of 3 frames)
+    frames_per_sec = CHUNK * 9 * ITERS / dt
+
+    vs_baseline = None
+    if flops:
+        ref_effective_flops = 0.35 * 15.7e12  # V100 fp32 @35% util
+        ref_sec_per_forward = flops / ref_effective_flops
+        ref_fps = CHUNK * 9 / ref_sec_per_forward
+        vs_baseline = frames_per_sec / ref_fps
+
+    print(json.dumps({
+        "metric": "vae2_inference_predicted_frames_per_sec_per_chip",
+        "value": round(frames_per_sec, 2),
+        "unit": "frames/sec",
+        "vs_baseline": round(vs_baseline, 3) if vs_baseline else 1.0,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,149 @@
+"""Shape/behavior tests for the HRNet trunk and the VAE^2 model family,
+on a tiny stage spec (CPU-feasible) mirroring the reference stage math
+(reference enc_hrnet.py:106-250, 259-527)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vae2_tpu.models.hrnet import (
+    HRNetTrunk, StageSpec, concat_upsampled, stage_specs_from_extra)
+from vae2_tpu.models import vae2 as fam
+from vae2_tpu.config import get_default_config
+
+TINY_SPECS = (
+    StageSpec(1, 1, (1,), (8,), "BOTTLENECK"),
+    StageSpec(1, 2, (1, 1), (4, 8), "BASIC"),
+    StageSpec(1, 3, (1, 1, 1), (4, 8, 16), "BASIC"),
+    StageSpec(1, 4, (1, 1, 1, 1), (4, 8, 16, 32), "BASIC"),
+)
+
+
+def _tiny_config(**extra_over):
+    cfg = get_default_config()
+    for i, s in enumerate(TINY_SPECS, start=1):
+        node = cfg.MODEL.EXTRA[f"STAGE{i}"]
+        node.NUM_MODULES = s.num_modules
+        node.NUM_BRANCHES = s.num_branches
+        node.NUM_BLOCKS = list(s.num_blocks)
+        node.NUM_CHANNELS = list(s.num_channels)
+        node.BLOCK = s.block
+    cfg.MODEL.EXTRA.Z_DIM = 4
+    cfg.TPU.DTYPE = "float32"
+    for k, v in extra_over.items():
+        cfg.MODEL.EXTRA[k] = v
+    return cfg
+
+
+def test_stage_specs_from_extra():
+    cfg = get_default_config()
+    specs = stage_specs_from_extra(cfg.MODEL.EXTRA)
+    assert specs[0].block == "BOTTLENECK"
+    assert specs[0].out_channels == (256,)
+    assert specs[3].out_channels == (18, 36, 72, 144)
+
+
+def test_trunk_branch_shapes():
+    """Stem stride 1 -> branch b at (H/2^b, W/2^b) with spec widths."""
+    trunk = HRNetTrunk(specs=TINY_SPECS, stem_stride=1, dtype=jnp.float32)
+    x = jnp.zeros((2, 16, 32, 9))
+    variables = trunk.init(jax.random.PRNGKey(0), x, None, True)
+    feats = trunk.apply(variables, x, None, False)
+    assert len(feats) == 4
+    for b, f in enumerate(feats):
+        assert f.shape == (2, 16 // 2**b, 32 // 2**b, TINY_SPECS[3].out_channels[b])
+    cat = concat_upsampled(feats)
+    assert cat.shape == (2, 16, 32, sum(TINY_SPECS[3].out_channels))
+
+
+def test_trunk_stem_stride2():
+    """Legacy seg stem (two stride-2 convs) -> branch 0 at H/4."""
+    trunk = HRNetTrunk(specs=TINY_SPECS, stem_stride=2, dtype=jnp.float32)
+    x = jnp.zeros((1, 32, 64, 3))
+    variables = trunk.init(jax.random.PRNGKey(0), x, None, True)
+    feats = trunk.apply(variables, x, None, False)
+    assert feats[0].shape == (1, 8, 16, 4)
+
+
+def test_encdec_shapes_and_z_sensitivity():
+    cfg = _tiny_config()
+    model = fam.get_encdec_model(cfg)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 16, 32, 9), jnp.float32)
+    # hd_z latent: per-branch maps at branch resolutions
+    z = [jnp.ones((2, 16 // 2**b, 32 // 2**b, 4)) * 0.5 for b in range(4)]
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        x, z, True)
+    x1p, x2p, x3p = model.apply(variables, x, z, False,
+                                rngs={"sample": jax.random.PRNGKey(2)})
+    for p in (x1p, x2p, x3p):
+        assert p.shape == (2, 16, 32, 9)  # 3 heads x NUM_CLASSES=3
+    # different z -> different predictions
+    z2 = [m * -2.0 for m in z]
+    _, x2p_b, _ = model.apply(variables, x, z2, False,
+                              rngs={"sample": jax.random.PRNGKey(2)})
+    assert not np.allclose(np.asarray(x2p), np.asarray(x2p_b))
+
+
+def test_posterior_hd_z_shapes():
+    cfg = _tiny_config(HD_Z=True)
+    model = fam.get_encz_model(cfg)
+    x = jnp.zeros((2, 16, 32, 18))  # cat[xt, x3t]
+    variables = model.init(jax.random.PRNGKey(0), x, True)
+    muvars = model.apply(variables, x, False)
+    assert isinstance(muvars, list) and len(muvars) == 4
+    for b, m in enumerate(muvars):
+        assert m.shape == (2, 16 // 2**b, 32 // 2**b, 8)  # 2*z_dim
+        assert m.dtype == jnp.float32
+
+
+def test_posterior_pooled_shapes():
+    cfg = _tiny_config(HD_Z=False)
+    model = fam.get_encz_model(cfg)
+    x = jnp.zeros((2, 16, 32, 18))
+    variables = model.init(jax.random.PRNGKey(0), x, True)
+    muvars = model.apply(variables, x, False)
+    assert muvars.shape == (2, 8)
+
+
+def test_discriminator_shapes():
+    cfg = _tiny_config()
+    model = fam.get_D_sequence_model(cfg)
+    x = jnp.zeros((2, 16, 32, 9))
+    variables = model.init(jax.random.PRNGKey(0), x, True)
+    out = model.apply(variables, x, False)
+    assert out.shape == (2, 16, 32, 1)
+    # frame discriminator: same net, 3-channel input
+    fr = fam.get_D_frame_model(cfg)
+    vf = fr.init(jax.random.PRNGKey(0), jnp.zeros((2, 16, 32, 3)), True)
+    assert fr.apply(vf, jnp.zeros((2, 16, 32, 3)), False).shape == (2, 16, 32, 1)
+
+
+def test_encoder_random_code_varies_with_rng():
+    """The encoder draws a fresh random code per forward
+    (enc_hrnet.py:454-462, 819): different 'sample' rng -> different x2p."""
+    cfg = _tiny_config()
+    model = fam.get_encdec_model(cfg)
+    x = jnp.asarray(np.random.RandomState(1).randn(2, 16, 32, 9), jnp.float32)
+    z = [jnp.zeros((2, 16 // 2**b, 32 // 2**b, 4)) for b in range(4)]
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        x, z, True)
+    _, a, _ = model.apply(variables, x, z, False,
+                          rngs={"sample": jax.random.PRNGKey(10)})
+    _, b, _ = model.apply(variables, x, z, False,
+                          rngs={"sample": jax.random.PRNGKey(20)})
+    assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_bfloat16_compute_f32_params():
+    cfg = _tiny_config()
+    cfg.TPU.DTYPE = "bfloat16"
+    model = fam.get_D_sequence_model(cfg)
+    x = jnp.zeros((1, 16, 32, 9), jnp.bfloat16)
+    variables = model.init(jax.random.PRNGKey(0), x, True)
+    leaves = jax.tree.leaves(variables["params"])
+    assert all(l.dtype == jnp.float32 for l in leaves)
+    out = model.apply(variables, x, False)
+    assert out.dtype == jnp.float32  # discriminator casts output to f32

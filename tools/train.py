@@ -1,0 +1,144 @@
+"""Train the VAE^2 video-prediction model (reference tools/train.py).
+
+Builds the four networks (encoder-dual-decoder, posterior, sequence + frame
+discriminators), a sharded data pipeline, and runs the jitted adversarial
+G/D loop over a TPU mesh with per-epoch checkpointing.
+
+    python tools/train.py --cfg experiments/cityscapes/vae2_hrnet_w18_small_v2_128x256.yaml \
+        [DATASET.ROOT data/synthetic TRAIN.END_EPOCH 5 ...]
+"""
+
+import argparse
+import os
+import pprint
+import timeit
+
+import jax
+import numpy as np
+
+import _init_paths  # noqa: F401
+from vae2_tpu.config import config, update_config
+from vae2_tpu.core.builder import build_system
+from vae2_tpu.core.train_loop import adversarial_train
+from vae2_tpu.data.loader import ClipLoader, normalize_clips
+from vae2_tpu.data.video import make_dataset
+from vae2_tpu.parallel.mesh import make_mesh, shard_batch_fn, shard_state
+from vae2_tpu.utils.checkpoint import maybe_resume, save_checkpoint
+from vae2_tpu.utils.logging import create_logger
+from vae2_tpu.utils.summary import log_model_summary
+
+
+def parse_args():
+    parser = argparse.ArgumentParser(description="Train VAE^2 video prediction")
+    parser.add_argument(
+        "--cfg",
+        default="experiments/cityscapes/vae2_hrnet_w18_small_v2_128x256.yaml",
+        type=str)
+    parser.add_argument("--seed", default=0, type=int)
+    parser.add_argument("opts", default=None, nargs=argparse.REMAINDER)
+    args = parser.parse_args()
+    update_config(config, args)
+    return args
+
+
+def main():
+    args = parse_args()
+    logger, final_output_dir, tb_log_dir = create_logger(config, args.cfg, "train")
+    logger.info(pprint.pformat(vars(args)))
+    logger.info(config)
+
+    try:
+        from tensorboardX import SummaryWriter
+        writer_dict = {
+            "writer": SummaryWriter(tb_log_dir),
+            "train_global_steps": 0,
+            "valid_global_steps": 0,
+        }
+    except ImportError:  # pragma: no cover
+        writer_dict = None
+
+    # Device mesh: data-parallel axis over all local (or distributed) devices
+    # — replaces torch.distributed/NCCL + DDP (reference tools/train.py:107-111,
+    # 225-229).
+    mesh = make_mesh(config)
+    logger.info("Device mesh: %s", mesh)
+    device_put = shard_batch_fn(mesh)
+
+    system = build_system(config)
+
+    # Data: per-host sharded threaded loader (replaces DataLoader workers +
+    # DistributedSampler, train.py:129-141).
+    train_dataset = make_dataset(config, config.DATASET.TRAIN_SET,
+                                 random_pos=True, seed=args.seed)
+    loader = ClipLoader(
+        train_dataset,
+        batch_size=config.TRAIN.BATCH_SIZE_PER_GPU * mesh.devices.size
+        // jax.process_count(),
+        shuffle=config.TRAIN.SHUFFLE,
+        num_threads=config.WORKERS,
+        seed=args.seed,
+        process_index=jax.process_index(),
+        process_count=jax.process_count(),
+        prefetch=config.TPU.PREFETCH,
+    )
+    if config.DATASET.EXTRA_TRAIN_SET:
+        extra_dataset = make_dataset(config, config.DATASET.EXTRA_TRAIN_SET,
+                                     random_pos=True, seed=args.seed + 1)
+        extra_loader = ClipLoader(
+            extra_dataset, batch_size=loader.batch_size,
+            shuffle=config.TRAIN.SHUFFLE, num_threads=config.WORKERS,
+            seed=args.seed + 1, process_index=jax.process_index(),
+            process_count=jax.process_count(), prefetch=config.TPU.PREFETCH)
+    else:
+        extra_loader = None
+
+    rng = jax.random.PRNGKey(args.seed)
+    rng, init_rng = jax.random.split(rng)
+    example_batch, _ = next(iter(loader))
+    example_batch = {k: normalize_clips(v[:1]) for k, v in example_batch.items()}
+    state = system.init(init_rng, example_batch)
+    log_model_summary(logger, state)
+    state = shard_state(state, mesh)
+
+    train_step = system.make_train_step(
+        donate=config.TPU.DONATE, preprocess=normalize_clips)
+
+    last_epoch = 0
+    if config.TRAIN.RESUME:
+        resumed, last_epoch = maybe_resume(final_output_dir, state)
+        if resumed is not None:
+            state = shard_state(resumed, mesh)
+            logger.info("=> loaded checkpoint (epoch %d)", last_epoch)
+
+    start = timeit.default_timer()
+    end_epoch = config.TRAIN.END_EPOCH + config.TRAIN.EXTRA_EPOCH
+    for epoch in range(last_epoch, end_epoch):
+        extra_phase = epoch >= config.TRAIN.END_EPOCH and extra_loader is not None
+        cur_loader = extra_loader if extra_phase else loader
+        cur_loader.set_epoch(epoch)
+        state, rng = adversarial_train(
+            config,
+            epoch - config.TRAIN.END_EPOCH if extra_phase else epoch,
+            config.TRAIN.EXTRA_EPOCH if extra_phase else config.TRAIN.END_EPOCH,
+            train_step, state, cur_loader, rng,
+            writer_dict=writer_dict, final_output_dir=final_output_dir,
+            use_multiplier=config.TRAIN.USE_X2RECON_MULTIPLIER,
+            device_put=device_put)
+
+        if jax.process_index() == 0:
+            ckpt = os.path.join(final_output_dir, "checkpoint.msgpack")
+            logger.info("=> saving checkpoint to %s", ckpt)
+            save_checkpoint(ckpt, state, epoch + 1)
+
+    if jax.process_index() == 0:
+        save_checkpoint(
+            os.path.join(final_output_dir, "model_final_state.msgpack"),
+            state, end_epoch)
+    if writer_dict is not None:
+        writer_dict["writer"].close()
+    logger.info("Hours: %d", int((timeit.default_timer() - start) / 3600))
+    logger.info("Done")
+
+
+if __name__ == "__main__":
+    main()

@@ -89,7 +89,10 @@ def get_default_config() -> ConfigNode:
     cfg.DATASET = ConfigNode()
     cfg.DATASET.ROOT = ""
     cfg.DATASET.DATASET = "cityscapessequence"
-    cfg.DATASET.NUM_CLASSES = 9  # video: 3 frames x RGB per clip
+    # Video: channels emitted per prediction head (one RGB frame per head;
+    # clip_length heads concat to the 3*clip_length-channel clip). The legacy
+    # segmentation recipes override this to their class count (19 etc.).
+    cfg.DATASET.NUM_CLASSES = 3
     cfg.DATASET.TRAIN_SET = ""
     cfg.DATASET.EXTRA_TRAIN_SET = ""
     cfg.DATASET.TEST_SET = ""

@@ -402,14 +402,22 @@ class VAE2System:
 
     # -- jitted steps --------------------------------------------------------
 
-    def make_train_step(self, donate: bool = True) -> Callable:
+    def make_train_step(self, donate: bool = True,
+                        preprocess: Optional[Callable] = None) -> Callable:
         """Build the jitted adversarial step: G update then (optional) D update
-        (reference function.py:482-516)."""
+        (reference function.py:482-516).
+
+        ``preprocess`` runs *inside* the jit on the raw batch — e.g.
+        ``normalize_clips`` so uint8 frames normalize on-device, fused with
+        the first convolution's input pipeline.
+        """
         h = self.hyper
         run_d_step = (not h.is_baseline) or h.baseline_mode == "VAE_GAN"
 
         def step(state: VAE2State, batch: Dict[str, Array], rng: Array,
                  multiplier: Array):
+            if preprocess is not None:
+                batch = {k: preprocess(v) for k, v in batch.items()}
             rng_g, rng_d = jax.random.split(rng)
             g_params = self._g_params(state.params)
             d_params = self._d_params(state.params)
@@ -455,11 +463,14 @@ class VAE2System:
         donate_argnums = (0,) if donate else ()
         return jax.jit(step, donate_argnums=donate_argnums)
 
-    def make_eval_step(self, sampling_mode: str = "prior_sampling") -> Callable:
+    def make_eval_step(self, sampling_mode: str = "prior_sampling",
+                       preprocess: Optional[Callable] = None) -> Callable:
         """Jitted inference forward: one stochastic rollout (reference
         function.py:45-53, eval mode — running BN stats, no grads)."""
 
         def step(state: VAE2State, batch: Dict[str, Array], rng: Array):
+            if preprocess is not None:
+                batch = {k: preprocess(v) for k, v in batch.items()}
             _, (metrics, preds, _) = self.generator_loss(
                 self._g_params(state.params), self._d_params(state.params),
                 state.batch_stats, batch, rng,

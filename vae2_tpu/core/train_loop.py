@@ -36,13 +36,19 @@ def denormalize_to_uint8(x: np.ndarray) -> np.ndarray:
 
 
 def save_frames_png(clip: np.ndarray, save_path: str, prefix: str) -> None:
-    """Save each 3-channel frame of an (H, W, 3F) clip as a PNG."""
+    """Save each 3-channel frame of an (H, W, 3F) clip as a PNG.
+
+    Accepts either raw uint8 frames (the loader's on-host format) or
+    normalized float frames (model predictions), which get denormalized.
+    """
     from PIL import Image
 
     os.makedirs(save_path, exist_ok=True)
     num_frames = clip.shape[-1] // 3
     for f in range(num_frames):
-        im = denormalize_to_uint8(clip[..., f * 3: f * 3 + 3])
+        fr = clip[..., f * 3: f * 3 + 3]
+        im = fr if fr.dtype == np.uint8 else denormalize_to_uint8(
+            fr.astype(np.float32))
         Image.fromarray(im).save(os.path.join(save_path, f"{prefix}_{f}.png"))
 
 

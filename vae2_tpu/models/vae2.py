@@ -1,0 +1,207 @@
+"""The VAE^2 model family: encoder-dual-decoder, posterior, discriminators.
+
+TPU-native re-design of reference lib/models/enc_hrnet.py:530-1210. Each
+network is one :class:`~vae2_tpu.models.hrnet.HRNetTrunk` instance plus a
+head — the reference's hand-copied ``decf_*`` / ``decp_*`` module trees
+(enc_hrnet.py:545-751) collapse into three instantiations of the same trunk.
+
+Dataflow (enc_hrnet.py:965-981): the encoder predicts the middle clip
+``x2p`` from the past clip; the future and past decoders then decode ``x3p``
+and ``x1p`` *from the prediction* ``x2p``, so both reconstruction gradients
+flow through it. The latent z (and, in the encoder, a fresh random code) is
+injected at every network's stage-4 transition.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .hrnet import (
+    ConvHead,
+    HRNetTrunk,
+    StageSpec,
+    concat_upsampled,
+    stage_specs_from_extra,
+)
+from ..ops.norm import BatchNormAct
+
+Array = jax.Array
+
+_kernel_init = nn.initializers.normal(stddev=0.001)
+
+
+class _TrunkWithHeads(nn.Module):
+    """A video trunk + ``clip_length`` frame-prediction heads.
+
+    The reference emits the clip through three parallel heads, one RGB frame
+    each, concatenated on channels (enc_hrnet.py:323-370, 841-845).
+    """
+
+    specs: Tuple[StageSpec, ...]
+    num_heads: int
+    num_classes: int
+    final_kernel: int
+    z_mode: str
+    z_dim: int
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x: Array, z=None, train: bool = True) -> Array:
+        feats = HRNetTrunk(
+            specs=self.specs, stem_stride=1, z_mode=self.z_mode,
+            z_dim=self.z_dim, dtype=self.dtype, name="trunk",
+        )(x, z, train)
+        y = concat_upsampled(feats)
+        frames = [
+            ConvHead(self.num_classes, self.final_kernel, self.dtype,
+                     name=f"last_layer_{i + 1}")(y, train)
+            for i in range(self.num_heads)
+        ]
+        return jnp.concatenate(frames, axis=-1)
+
+
+class VAE2EncDec(nn.Module):
+    """Encoder + future/past decoders (HighResolutionNetED,
+    enc_hrnet.py:530-981)."""
+
+    specs: Tuple[StageSpec, ...]
+    clip_length: int = 3
+    num_classes: int = 3
+    final_kernel: int = 1
+    is_baseline: bool = False
+    baseline_mode: str = "VAE_NATIVE"
+    z_dim: int = 32
+    dtype: Any = jnp.bfloat16
+
+    def setup(self):
+        det = self.baseline_mode == "DETERMINISTIC"
+        enc_z = "none" if det else ("z" if self.is_baseline else "z+rand")
+        dec_z = "none" if det else "z"
+        head_kw = dict(
+            specs=self.specs, num_heads=self.clip_length,
+            num_classes=self.num_classes, final_kernel=self.final_kernel,
+            z_dim=self.z_dim, dtype=self.dtype,
+        )
+        self.encoder = _TrunkWithHeads(z_mode=enc_z, name="encoder", **head_kw)
+        self.dec_future = _TrunkWithHeads(z_mode=dec_z, name="dec_future", **head_kw)
+        self.dec_past = _TrunkWithHeads(z_mode=dec_z, name="dec_past", **head_kw)
+
+    def __call__(self, x: Array, z=None, train: bool = True):
+        x2p = self.encoder(x, z, train)
+        x3p = self.dec_future(x2p, z, train)
+        x1p = self.dec_past(x2p, z, train)
+        return x1p, x2p, x3p
+
+    def encode(self, x: Array, z=None, train: bool = True) -> Array:
+        return self.encoder(x, z, train)
+
+    def decode(self, x2p: Array, z=None, train: bool = True):
+        return self.dec_past(x2p, z, train), self.dec_future(x2p, z, train)
+
+
+class VAE2Posterior(nn.Module):
+    """q(z | clips): trunk + latent head (HighResolutionNetEDz,
+    enc_hrnet.py:984-1122).
+
+    ``hd_z``: per-branch 1x1 convs emit a (B, h_b, w_b, 2*z_dim) spatial
+    latent map per resolution (:1000-1022). Otherwise: global average pool ->
+    512-wide MLP -> (B, 2*z_dim) (:1023-1041).
+    """
+
+    specs: Tuple[StageSpec, ...]
+    hd_z: bool = True
+    z_dim: int = 32
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = True):
+        feats = HRNetTrunk(
+            specs=self.specs, stem_stride=1, z_mode="none",
+            z_dim=self.z_dim, dtype=self.dtype, name="trunk",
+        )(x, None, train)
+        if self.hd_z:
+            outs: List[Array] = []
+            for i, f in enumerate(feats):
+                outs.append(
+                    nn.Conv(2 * self.z_dim, (1, 1), use_bias=False,
+                            dtype=self.dtype, param_dtype=jnp.float32,
+                            kernel_init=_kernel_init,
+                            name=f"z_layer_{i}")(f).astype(jnp.float32)
+                )
+            return outs
+        y = concat_upsampled(feats)
+        y = jnp.mean(y, axis=(1, 2))  # global average pool
+        y = nn.Dense(512, dtype=self.dtype, param_dtype=jnp.float32,
+                     kernel_init=_kernel_init, name="z_fc1")(y)
+        y = BatchNormAct(act="relu", dtype=self.dtype, name="z_bn")(y, train)
+        y = nn.Dense(2 * self.z_dim, dtype=self.dtype, param_dtype=jnp.float32,
+                     kernel_init=_kernel_init, name="z_fc2")(y)
+        return y.astype(jnp.float32)
+
+
+class VAE2Discriminator(nn.Module):
+    """LSGAN discriminator emitting a scalar map (HighResolutionNetDsc,
+    enc_hrnet.py:1125-1183). ``is_sequence`` only changes the input channel
+    count, which flax infers from the input."""
+
+    specs: Tuple[StageSpec, ...]
+    final_kernel: int = 1
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = True) -> Array:
+        feats = HRNetTrunk(
+            specs=self.specs, stem_stride=1, z_mode="none",
+            dtype=self.dtype, name="trunk",
+        )(x, None, train)
+        y = concat_upsampled(feats)
+        return ConvHead(1, self.final_kernel, self.dtype,
+                        name="last_layer")(y, train).astype(jnp.float32)
+
+
+# -- factories (mirror reference enc_hrnet.py:1185-1210) ---------------------
+
+
+def _common(config):
+    extra = config.MODEL.EXTRA
+    dtype = jnp.bfloat16 if config.TPU.DTYPE == "bfloat16" else jnp.float32
+    return extra, stage_specs_from_extra(extra), dtype
+
+
+def get_encdec_model(config) -> VAE2EncDec:
+    extra, specs, dtype = _common(config)
+    return VAE2EncDec(
+        specs=specs,
+        clip_length=config.TRAIN.CLIP_LENGTH,
+        num_classes=config.DATASET.NUM_CLASSES,
+        final_kernel=int(extra.get("FINAL_CONV_KERNEL", 1)),
+        is_baseline=bool(extra.IS_BASELINE),
+        baseline_mode=str(extra.BASELINE_MODE),
+        z_dim=int(extra.get("Z_DIM", 32)),
+        dtype=dtype,
+    )
+
+
+def get_encz_model(config) -> VAE2Posterior:
+    extra, specs, dtype = _common(config)
+    return VAE2Posterior(
+        specs=specs,
+        hd_z=bool(extra.get("HD_Z", True)),
+        z_dim=int(extra.get("Z_DIM", 32)),
+        dtype=dtype,
+    )
+
+
+def get_D_sequence_model(config) -> VAE2Discriminator:
+    extra, specs, dtype = _common(config)
+    return VAE2Discriminator(
+        specs=specs, final_kernel=int(extra.get("FINAL_CONV_KERNEL", 1)),
+        dtype=dtype)
+
+
+def get_D_frame_model(config) -> VAE2Discriminator:
+    return get_D_sequence_model(config)

@@ -39,6 +39,13 @@ def load_checkpoint(path: str, template_state: Any) -> Tuple[Any, int]:
     return state, epoch
 
 
+def template_from_init(system, rng, example_batch) -> Any:
+    """Build a checkpoint-restore template WITHOUT compiling/running the init
+    graph: ``jax.eval_shape`` gives the state pytree as ShapeDtypeStructs,
+    which ``from_state_dict`` fills with the stored arrays."""
+    return jax.eval_shape(lambda: system.init(rng, example_batch))
+
+
 def maybe_resume(final_output_dir: str, template_state: Any,
                  filename: str = "checkpoint.msgpack"
                  ) -> Tuple[Optional[Any], int]:

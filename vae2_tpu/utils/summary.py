@@ -1,0 +1,20 @@
+"""Model summary: parameter counts per subnetwork
+(the startup-sanity role of reference lib/utils/modelsummary.py:19-135)."""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+
+
+def count_params(tree) -> int:
+    return int(sum(np.prod(l.shape) for l in jax.tree.leaves(tree)))
+
+
+def log_model_summary(logger, state) -> None:
+    total = 0
+    for name, sub in state.params.items():
+        n = count_params(sub)
+        total += n
+        logger.info("model %-8s: %10.2fM params", name, n / 1e6)
+    logger.info("model total   : %10.2fM params", total / 1e6)
