@@ -137,6 +137,29 @@ def test_encoder_random_code_varies_with_rng():
     assert not np.allclose(np.asarray(a), np.asarray(b))
 
 
+def test_sample_method_matches_full_forward():
+    """The shared-prefix multi-sample path (VAE2EncDec.sample) must equal the
+    plain forward on a tiled batch: same z, same rng => same predictions."""
+    cfg = _tiny_config()
+    model = fam.get_encdec_model(cfg)
+    x1 = jnp.asarray(np.random.RandomState(3).randn(1, 16, 32, 9), jnp.float32)
+    s = 3
+    z = [jnp.asarray(np.random.RandomState(10 + b).randn(
+        s, 16 // 2**b, 32 // 2**b, 4), jnp.float32) for b in range(4)]
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        x1, [m[:1] for m in z], True)
+
+    rng = jax.random.PRNGKey(7)
+    tiled = jnp.broadcast_to(x1, (s,) + x1.shape[1:])
+    full = model.apply(variables, tiled, z, False, rngs={"sample": rng})
+    shared = model.apply(variables, x1, z, False, rngs={"sample": rng},
+                         method="sample")
+    for a, b in zip(full, shared):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
 def test_bfloat16_compute_f32_params():
     cfg = _tiny_config()
     cfg.TPU.DTYPE = "bfloat16"

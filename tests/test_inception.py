@@ -30,16 +30,26 @@ def test_logits_shape_torchvision_variant(params):
     assert logits.shape == (2, 1000)
 
 
-def test_fid_variant_differs_from_torchvision(params):
-    """The FID pooling patches must change the features."""
-    x = jnp.asarray(np.random.RandomState(2).rand(1, 96, 96, 3), jnp.float32)
-    a = np.asarray(inception_forward(params, x, fid_variant=True))
-    b = np.asarray(inception_forward(params, x, fid_variant=False))
-    assert not np.allclose(a, b)
+def test_fid_avg_pool_patch():
+    """The FID patch (count_include_pad=False) must match torch's avg_pool2d
+    semantics at the borders: divide by the number of REAL elements."""
+    from vae2_tpu.models.inception import _avg_pool
+
+    x = jnp.ones((1, 4, 4, 1), jnp.float32)
+    incl = np.asarray(_avg_pool(x, include_pad=True))[0, ..., 0]
+    excl = np.asarray(_avg_pool(x, include_pad=False))[0, ..., 0]
+    # corner: 4 real elements in the 3x3 window
+    np.testing.assert_allclose(incl[0, 0], 4.0 / 9.0, rtol=1e-6)
+    np.testing.assert_allclose(excl[0, 0], 1.0, rtol=1e-6)
+    # edge: 6 real elements
+    np.testing.assert_allclose(incl[0, 1], 6.0 / 9.0, rtol=1e-6)
+    np.testing.assert_allclose(excl[0, 1], 1.0, rtol=1e-6)
+    # interior identical
+    np.testing.assert_allclose(incl[1:3, 1:3], excl[1:3, 1:3], rtol=1e-6)
 
 
 def test_frechet_distance_math():
-    from tools.fid_score import calculate_frechet_distance
+    from vae2_tpu.eval.fid import calculate_frechet_distance
 
     rng = np.random.RandomState(0)
     mu = rng.randn(8)
@@ -58,7 +68,7 @@ def test_fid_end_to_end_tiny(tmp_path, params):
     only self-consistency is asserted."""
     from PIL import Image
 
-    from tools import fid_score
+    from vae2_tpu.eval import fid as fid_score
 
     rng = np.random.RandomState(3)
     d1 = tmp_path / "a"

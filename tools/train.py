@@ -57,6 +57,10 @@ def main():
     except ImportError:  # pragma: no cover
         writer_dict = None
 
+    # Multi-host init (replaces setup.sh + NCCL env:// rendezvous).
+    from vae2_tpu.parallel.dist import initialize_distributed
+    initialize_distributed()
+
     # Device mesh: data-parallel axis over all local (or distributed) devices
     # — replaces torch.distributed/NCCL + DDP (reference tools/train.py:107-111,
     # 225-229).
@@ -104,7 +108,7 @@ def main():
         donate=config.TPU.DONATE, preprocess=normalize_clips)
 
     last_epoch = 0
-    if config.TRAIN.RESUME:
+    if config.TRAIN.RESUME or config.AUTO_RESUME:
         resumed, last_epoch = maybe_resume(final_output_dir, state)
         if resumed is not None:
             state = shard_state(resumed, mesh)

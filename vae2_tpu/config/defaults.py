@@ -159,5 +159,7 @@ def get_default_config() -> ConfigNode:
     cfg.TPU.PREFETCH = 2  # host->device pipeline depth
     cfg.TPU.FUSED_ABN = "xla"  # 'xla' | 'pallas' fused BN+activation backend
     cfg.TPU.INFER_SAMPLE_BATCH = 8  # prior samples folded per device batch
+    cfg.TPU.PROFILE_DIR = ""  # non-empty: jax.profiler trace of a step window
+    cfg.TPU.PROFILE_STEPS = 5
 
     return cfg

@@ -58,12 +58,13 @@ def make_prior_sampler(system: VAE2System, chunk: int,
     h = system.hyper
     z_shapes = prior_z_shapes(h, height, width)
 
+    encdec = system.modules["encdec"]
+    shared_prefix = hasattr(encdec, "sample") and not h.deterministic
+
     def fn(state: VAE2State, xt, x2t, rng):
         xt = normalize_clips(xt)
         x2t = normalize_clips(x2t)
         enc_in = system._encoder_input(xt, x2t)
-        enc_in = jnp.broadcast_to(
-            enc_in, (chunk,) + enc_in.shape[1:])
         rng_z, rng_code = jax.random.split(rng)
         if z_shapes is None:
             z = None
@@ -73,9 +74,19 @@ def make_prior_sampler(system: VAE2System, chunk: int,
                  for k, s in zip(keys, z_shapes)]
         else:
             z = jax.random.normal(rng_z, (chunk,) + z_shapes[0], jnp.float32)
-        (x1p, x2p, x3p), _ = system._apply(
-            "encdec", state.params, state.batch_stats, enc_in, z,
-            train=False, rngs={"sample": rng_code})
+        variables = {"params": state.params["encdec"]}
+        if state.batch_stats.get("encdec"):
+            variables["batch_stats"] = state.batch_stats["encdec"]
+        if shared_prefix:
+            # z-independent encoder prefix computed once, broadcast to all
+            # chunk samples (see VAE2EncDec.sample)
+            x1p, x2p, x3p = encdec.apply(
+                variables, enc_in, z, False, rngs={"sample": rng_code},
+                method="sample")
+        else:
+            enc_in = jnp.broadcast_to(enc_in, (chunk,) + enc_in.shape[1:])
+            x1p, x2p, x3p = encdec.apply(
+                variables, enc_in, z, False, rngs={"sample": rng_code})
         return x1p, x2p, x3p
 
     return jax.jit(fn)
@@ -163,6 +174,13 @@ def run_inference(config, system: VAE2System, state: VAE2State, loader,
 
     for i_iter, (batch, names) in enumerate(loader):
         name = names[-1]
+        if "x5t" in batch:
+            # 5-clip momentum-eval layout (reference function.py:109-115):
+            # xt_last=clips[0], x3t_last=clips[2], xt=clips[2], x2t=clips[3],
+            # x3t=clips[4]
+            batch = {"xt_last": batch["xt"], "x3t_last": batch["x3t"],
+                     "xt": batch["x3t"], "x2t": batch["x4t"],
+                     "x3t": batch["x5t"]}
         # Reference evaluates the last batch element only (function.py:222+).
         xt = jnp.asarray(batch["xt"][-1:])
         x2t = jnp.asarray(batch["x2t"][-1:])

@@ -39,7 +39,7 @@ Array = jax.Array
 PyTree = Any
 
 BASELINE_MODES = ("VAE_NATIVE", "VAE_ANNEAL", "VAE_GAN", "DETERMINISTIC")
-SAMPLING_MODES = ("default", "prior_sampling")
+SAMPLING_MODES = ("default", "prior_sampling", "momentum_sampling")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -300,8 +300,17 @@ class VAE2System:
                          if h.baseline_mode == "VAE_ANNEAL" else h.x3recon_lambda)
 
         if not h.deterministic:
-            mus, logvars, batch_stats = self.posterior(
-                params, batch_stats, xt, x2t, x3t, train)
+            if sampling_mode == "momentum_sampling":
+                # posterior conditioned on the PREVIOUS window's clips
+                # (reference utils.py:195; requires a 5-clip batch)
+                q_in = jnp.concatenate(
+                    [batch["xt_last"], batch["x3t_last"]], axis=-1)
+                muvars, batch_stats = self._apply(
+                    "encz", params, batch_stats, q_in, train=train)
+                mus, logvars = split_muvar(muvars, h.z_dim)
+            else:
+                mus, logvars, batch_stats = self.posterior(
+                    params, batch_stats, xt, x2t, x3t, train)
             if sampling_mode == "prior_sampling":
                 z = prior_sample_like(mus, rng_eps)
             else:

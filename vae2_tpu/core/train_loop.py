@@ -77,6 +77,13 @@ def adversarial_train(
         dynamic_coeff(max_iters=num_epoch, cur_iters=epoch) if use_multiplier else 1.0
     )
     multiplier = np.float32(multiplier)
+    # Anomaly guard (the reference asserts NaN/Inf on z and predictions every
+    # step, utils.py:63-65; under jit we check the fetched metrics instead).
+    anomaly_check = bool(config.DEBUG.DEBUG)
+    # jax.profiler trace window (TPU equivalent of the reference's wall-clock
+    # meters, SURVEY.md section 5): profile steps [2, 2+N) of epoch 0.
+    profile_dir = str(config.TPU.get("PROFILE_DIR", "")) if epoch == 0 else ""
+    profile_steps = int(config.TPU.get("PROFILE_STEPS", 5))
 
     tic = time.time()
     last_metrics = None
@@ -86,12 +93,24 @@ def adversarial_train(
     epoch_iters = len(loader) if hasattr(loader, "__len__") else 0
 
     for i_iter, (batch, names) in enumerate(loader):
+        if profile_dir and i_iter == 2:
+            jax.profiler.start_trace(profile_dir)
         if device_put is not None:
             batch = device_put(batch)
         rng, step_rng = jax.random.split(rng)
         state, metrics, preds = train_step(state, batch, step_rng, multiplier)
         last_metrics, last_preds = metrics, preds
         last_batch, last_names = batch, names
+        if profile_dir and i_iter == 2 + profile_steps:
+            jax.block_until_ready(metrics)
+            jax.profiler.stop_trace()
+            logger.info("profiler trace written to %s", profile_dir)
+            profile_dir = ""
+        if anomaly_check:
+            m = jax.device_get(metrics)
+            bad = {k: float(v) for k, v in m.items()
+                   if not np.isfinite(v)}
+            assert not bad, f"NaN/Inf losses at iter {i_iter}: {bad}"
 
         batch_time.update(time.time() - tic)
         tic = time.time()

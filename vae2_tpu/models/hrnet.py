@@ -333,43 +333,59 @@ class HRNetTrunk(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x: Array, z: Optional[Any] = None,
-                 train: bool = True) -> List[Array]:
+    def __call__(self, x, z: Optional[Any] = None, train: bool = True,
+                 mode: str = "full") -> List[Array]:
+        """mode: 'full' (default), or the two halves used by multi-sample
+        inference to share the z-independent computation across samples
+        (see VAE2EncDec.sample): 'prefix' runs stem..transition3 and returns
+        the branch list; 'suffix' takes that list as ``x`` and runs the
+        z-injection + stage 4."""
+        assert mode in ("full", "prefix", "suffix")
         s1, s2, s3, s4 = self.specs
-        x = x.astype(self.dtype)
 
-        # Stem (enc_hrnet.py:271-277 / :539-543)
-        x = _conv(64, 3, self.stem_stride, self.dtype, "conv1")(x)
-        x = BatchNormAct(act="relu", dtype=self.dtype, name="bn1")(x, train)
-        x = _conv(64, 3, self.stem_stride, self.dtype, "conv2")(x)
-        x = BatchNormAct(act="relu", dtype=self.dtype, name="bn2")(x, train)
+        if mode in ("full", "prefix"):
+            x = x.astype(self.dtype)
+            # Stem (enc_hrnet.py:271-277 / :539-543)
+            x = _conv(64, 3, self.stem_stride, self.dtype, "conv1")(x)
+            x = BatchNormAct(act="relu", dtype=self.dtype, name="bn1")(x, train)
+            x = _conv(64, 3, self.stem_stride, self.dtype, "conv2")(x)
+            x = BatchNormAct(act="relu", dtype=self.dtype, name="bn2")(x, train)
 
-        # Stage 1 (enc_hrnet.py:280-285)
-        x = BlockChain(
-            block=s1.block, features=s1.num_channels[0],
-            num_blocks=s1.num_blocks[0], in_channels=64, dtype=self.dtype,
-            name="layer1",
-        )(x, train)
-        stage1_out = (s1.out_channels[0],)
+            # Stage 1 (enc_hrnet.py:280-285)
+            x = BlockChain(
+                block=s1.block, features=s1.num_channels[0],
+                num_blocks=s1.num_blocks[0], in_channels=64, dtype=self.dtype,
+                name="layer1",
+            )(x, train)
 
-        # Stages 2..4 with transitions
-        xs = [x]
-        prev_channels = stage1_out
-        for idx, spec in ((2, s2), (3, s3), (4, s4)):
-            xs = Transition(
-                in_channels=prev_channels, out_channels=spec.out_channels,
-                dtype=self.dtype, name=f"transition{idx - 1}",
-            )(xs, train)
-            if idx == 4 and self.z_mode != "none":
-                xs = self._inject_z(xs, z, spec, train)
-            for m in range(spec.num_modules):
-                xs = HRModule(
-                    spec=spec,
-                    in_channels=spec.out_channels,
-                    dtype=self.dtype,
-                    name=f"stage{idx}_module{m}",
+            # Stages 2..3 + the stage-4 transition
+            xs = [x]
+            prev_channels = (s1.out_channels[0],)
+            for idx, spec in ((2, s2), (3, s3), (4, s4)):
+                xs = Transition(
+                    in_channels=prev_channels, out_channels=spec.out_channels,
+                    dtype=self.dtype, name=f"transition{idx - 1}",
                 )(xs, train)
-            prev_channels = spec.out_channels
+                if idx == 4:
+                    break
+                for m in range(spec.num_modules):
+                    xs = HRModule(
+                        spec=spec, in_channels=spec.out_channels,
+                        dtype=self.dtype, name=f"stage{idx}_module{m}",
+                    )(xs, train)
+                prev_channels = spec.out_channels
+            if mode == "prefix":
+                return xs
+        else:
+            xs = list(x)
+
+        if self.z_mode != "none":
+            xs = self._inject_z(xs, z, s4, train)
+        for m in range(s4.num_modules):
+            xs = HRModule(
+                spec=s4, in_channels=s4.out_channels, dtype=self.dtype,
+                name=f"stage4_module{m}",
+            )(xs, train)
         return xs
 
     def _inject_z(self, xs: List[Array], z, spec: StageSpec,

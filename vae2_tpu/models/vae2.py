@@ -50,11 +50,14 @@ class _TrunkWithHeads(nn.Module):
     dtype: Any
 
     @nn.compact
-    def __call__(self, x: Array, z=None, train: bool = True) -> Array:
+    def __call__(self, x, z=None, train: bool = True,
+                 mode: str = "full") -> Array:
         feats = HRNetTrunk(
             specs=self.specs, stem_stride=1, z_mode=self.z_mode,
             z_dim=self.z_dim, dtype=self.dtype, name="trunk",
-        )(x, z, train)
+        )(x, z, train, mode=mode)
+        if mode == "prefix":
+            return feats
         y = concat_upsampled(feats)
         frames = [
             ConvHead(self.num_classes, self.final_kernel, self.dtype,
@@ -101,6 +104,28 @@ class VAE2EncDec(nn.Module):
 
     def decode(self, x2p: Array, z=None, train: bool = True):
         return self.dec_past(x2p, z, train), self.dec_future(x2p, z, train)
+
+    def sample(self, x: Array, z, train: bool = False):
+        """Multi-sample rollout sharing the z-independent encoder prefix.
+
+        ``x`` is a single conditioning clip (1, H, W, C); ``z`` carries the
+        sample batch S (list of (S, h_b, w_b, z_dim) maps, or (S, z_dim)).
+        The encoder's stem..stage3 (which doesn't depend on z,
+        enc_hrnet.py:787-817) runs once and is broadcast to all S samples;
+        the z-injection + stage 4 + heads + both decoders run per sample.
+        """
+        if isinstance(z, (list, tuple)):
+            s = z[0].shape[0]
+        elif z is not None:
+            s = z.shape[0]
+        else:
+            s = x.shape[0]
+        feats = self.encoder(x, None, train, mode="prefix")
+        feats = [jnp.broadcast_to(f, (s,) + f.shape[1:]) for f in feats]
+        x2p = self.encoder(feats, z, train, mode="suffix")
+        x3p = self.dec_future(x2p, z, train)
+        x1p = self.dec_past(x2p, z, train)
+        return x1p, x2p, x3p
 
 
 class VAE2Posterior(nn.Module):
