@@ -21,8 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-CHUNK = 16  # prior samples folded per forward
-ITERS = 20
+CHUNK = 64  # prior samples folded per forward (large batch fills the MXU)
+ITERS = 8
 H, W = 128, 256
 
 

@@ -97,18 +97,49 @@ class ClipSequenceDataset:
         return max(0, length - span - 1)
 
     def __getitem__(self, index: int) -> Tuple[np.ndarray, str]:
-        """Returns (clips, name): clips is uint8 (H, W, 3*L*N)."""
+        """Returns (clips, name): clips is uint8 (H, W, 3*L*N).
+
+        Decode+resize goes through the native C++ decoder
+        (vae2_tpu/native/clip_decoder.cpp) when available — one batched call
+        per clip, GIL released — with a PIL fallback.
+        """
         item = self.files[index]
         length = self._sequence_length(item)
         span = self.clip_length * self.clip_num
         h, w = self.crop_size
         pos = self.sample_position(length) + self._frame_offset()
-        frames = []
         with zipfile.ZipFile(self._zip_path(item), mode="r") as zf:
+            native_frames = self._native_decode(zf, pos, span, w, h)
+            if native_frames is not None:
+                return native_frames, item["name"]
+            frames = []
             for p in range(pos, pos + span):
                 im = self._load_frame(zf, p).resize((w, h))
                 frames.append(np.asarray(im, np.uint8))
         return np.concatenate(frames, axis=-1), item["name"]
+
+    def _native_decode(self, zf: zipfile.ZipFile, pos: int, span: int,
+                       w: int, h: int) -> Optional[np.ndarray]:
+        from .. import native
+
+        datas = []
+        for p in range(pos, pos + span):
+            try:
+                datas.append(zf.read(self._frame_name(p)))
+            except KeyError:
+                new_p = p - 1 if p > 0 else p + 1
+                logger.error("Failed to open %s, open %s instead",
+                             self._frame_name(p), self._frame_name(new_p))
+                try:
+                    datas.append(zf.read(self._frame_name(new_p)))
+                except KeyError:
+                    return None
+        out = native.decode_batch(datas, w, h, threads=2)
+        if out is None:
+            return None
+        # (span, h, w, 3) -> (h, w, 3*span)
+        return np.ascontiguousarray(
+            np.moveaxis(out, 0, 2).reshape(h, w, 3 * span))
 
 
 class CityscapesSequence(ClipSequenceDataset):

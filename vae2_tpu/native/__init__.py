@@ -1,0 +1,116 @@
+"""ctypes bindings for the native C++ clip decoder.
+
+Builds ``clip_decoder.cpp`` on first use (g++ -O3, cached next to the
+source; rebuilt when the source changes) and exposes:
+
+- ``decode_frame(bytes, w, h) -> np.uint8 (h, w, 3)``
+- ``decode_batch(list_of_bytes, w, h, threads) -> np.uint8 (n, h, w, 3)``
+
+Falls back cleanly (``AVAILABLE = False``) when the toolchain or codec
+libraries are missing; the data pipeline then uses PIL.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+from typing import List, Optional
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "clip_decoder.cpp")
+
+_lib: Optional[ctypes.CDLL] = None
+AVAILABLE = False
+
+
+def _build() -> Optional[str]:
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    cache_dir = os.environ.get(
+        "VAE2_NATIVE_CACHE", os.path.expanduser("~/.cache/vae2_tpu_native"))
+    os.makedirs(cache_dir, exist_ok=True)
+    so_path = os.path.join(cache_dir, f"clip_decoder_{digest}.so")
+    if os.path.isfile(so_path):
+        return so_path
+    cmd = [
+        "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17", _SRC,
+        "-o", so_path + ".tmp", "-lpng", "-ljpeg", "-lz", "-lpthread",
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=180)
+    except (subprocess.SubprocessError, FileNotFoundError):
+        # retry without -march=native (non-x86 or older toolchains)
+        try:
+            subprocess.run([c for c in cmd if c != "-march=native"],
+                           check=True, capture_output=True, timeout=180)
+        except (subprocess.SubprocessError, FileNotFoundError):
+            return None
+    os.replace(so_path + ".tmp", so_path)
+    return so_path
+
+
+def _load() -> bool:
+    global _lib, AVAILABLE
+    if _lib is not None:
+        return AVAILABLE
+    if os.environ.get("VAE2_NO_NATIVE") == "1":
+        AVAILABLE = False
+        _lib = ctypes.CDLL(None)  # sentinel
+        return False
+    so = _build()
+    if so is None:
+        AVAILABLE = False
+        _lib = ctypes.CDLL(None)
+        return False
+    try:
+        lib = ctypes.CDLL(so)
+        lib.vae2_decode_frame.restype = ctypes.c_int
+        lib.vae2_decode_frame.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8)]
+        lib.vae2_decode_batch.restype = ctypes.c_int
+        lib.vae2_decode_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_size_t), ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
+        assert lib.vae2_native_version() >= 1
+    except (OSError, AttributeError, AssertionError):
+        AVAILABLE = False
+        _lib = ctypes.CDLL(None)
+        return False
+    _lib = lib
+    AVAILABLE = True
+    return True
+
+
+def decode_frame(data: bytes, width: int, height: int) -> Optional[np.ndarray]:
+    """Decode+resize one encoded PNG/JPEG; None on failure."""
+    if not _load():
+        return None
+    out = np.empty((height, width, 3), np.uint8)
+    rc = _lib.vae2_decode_frame(
+        data, len(data), width, height,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out if rc == 0 else None
+
+
+def decode_batch(datas: List[bytes], width: int, height: int,
+                 threads: int = 4) -> Optional[np.ndarray]:
+    """Decode+resize a batch concurrently (GIL released for the whole batch);
+    None if the native library is unavailable. Failed frames are zeros and
+    reported via the return of the C call (logged by the caller)."""
+    if not _load():
+        return None
+    n = len(datas)
+    out = np.empty((n, height, width, 3), np.uint8)
+    buf_array = (ctypes.c_char_p * n)(*datas)
+    len_array = (ctypes.c_size_t * n)(*[len(d) for d in datas])
+    _lib.vae2_decode_batch(
+        buf_array, len_array, n, width, height,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), threads)
+    return out
