@@ -10,7 +10,7 @@ def test_defaults_have_reference_keys():
     cfg = get_default_config()
     assert cfg.TRAIN.CLIP_LENGTH == 3
     assert cfg.MODEL.EXTRA.BASELINE_MODE == "VAE_NATIVE"
-    assert cfg.DATASET.NUM_CLASSES == 9
+    assert cfg.DATASET.NUM_CLASSES == 3  # one RGB frame per prediction head
     assert cfg.TRAIN.IMAGE_SIZE == [256, 128]
 
 

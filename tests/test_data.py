@@ -101,6 +101,33 @@ def test_normalize_clips_matches_reference_math():
     np.testing.assert_allclose(back, x.astype(np.float32), atol=1e-3)
 
 
+@pytest.fixture(scope="module")
+def ucf_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ucf")
+    subprocess.run(
+        [sys.executable, "tools/gen_synthetic_data.py", "--out", str(root),
+         "--num-videos", "4", "--width", "64", "--height", "32",
+         "--layout", "ucf"],
+        check=True, cwd=os.path.dirname(os.path.dirname(__file__)))
+    return str(root)
+
+
+def test_ucf_dataset(ucf_root):
+    from vae2_tpu.data.video import UcfSequence
+
+    ds = UcfSequence(
+        root=ucf_root, list_path=os.path.join(ucf_root, "train_list.txt"),
+        crop_size=(32, 64), clip_length=3, clip_num=3, random_pos=False,
+        fixed_length=True)
+    assert len(ds) == 3
+    clips, name = ds[0]
+    assert clips.shape == (32, 64, 27)
+    assert clips.dtype == np.uint8
+    assert name.startswith("v_synth_")
+    # eval position keeps a margin of 3 for non-baseline (ucf101.py:102)
+    assert ds.sample_position(30) == 20
+
+
 def test_make_dataset_from_config(synth_root):
     cfg = get_default_config()
     cfg.DATASET.ROOT = synth_root

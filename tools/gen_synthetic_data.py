@@ -64,20 +64,38 @@ def main():
     ap.add_argument("--width", type=int, default=256)
     ap.add_argument("--height", type=int, default=128)
     ap.add_argument("--test-fraction", type=float, default=0.25)
+    ap.add_argument("--layout", choices=["cityscapes", "ucf"],
+                    default="cityscapes",
+                    help="cityscapes: one zip of 30 PNGs per video; "
+                         "ucf: per-video dir with RGB_frames.zip of "
+                         "1-indexed JPEGs + '<dir> <length>' list lines")
     args = ap.parse_args()
 
     os.makedirs(args.out, exist_ok=True)
     names = []
     for v in range(args.num_videos):
         params = make_video_params(seed=1234 + v)
-        zip_name = f"synthetic_{v:04d}.zip"
-        with zipfile.ZipFile(os.path.join(args.out, zip_name), "w") as zf:
-            for t in range(args.frames):
-                frame = render_frame(t, args.height, args.width, params)
-                buf = io.BytesIO()
-                Image.fromarray(frame).save(buf, format="PNG")
-                zf.writestr(f"{t:06d}_leftImg8bit.png", buf.getvalue())
-        names.append(zip_name)
+        if args.layout == "cityscapes":
+            zip_name = f"synthetic_{v:04d}.zip"
+            with zipfile.ZipFile(os.path.join(args.out, zip_name), "w") as zf:
+                for t in range(args.frames):
+                    frame = render_frame(t, args.height, args.width, params)
+                    buf = io.BytesIO()
+                    Image.fromarray(frame).save(buf, format="PNG")
+                    zf.writestr(f"{t:06d}_leftImg8bit.png", buf.getvalue())
+            names.append(zip_name)
+        else:
+            vid_dir = f"v_synth_{v:04d}"
+            os.makedirs(os.path.join(args.out, vid_dir), exist_ok=True)
+            with zipfile.ZipFile(
+                    os.path.join(args.out, vid_dir, "RGB_frames.zip"),
+                    "w") as zf:
+                for t in range(args.frames):
+                    frame = render_frame(t, args.height, args.width, params)
+                    buf = io.BytesIO()
+                    Image.fromarray(frame).save(buf, format="JPEG", quality=90)
+                    zf.writestr(f"image_{t + 1:05d}.jpg", buf.getvalue())
+            names.append(f"{vid_dir} {args.frames}")
 
     n_test = max(1, int(len(names) * args.test_fraction))
     with open(os.path.join(args.out, "train_list.txt"), "w") as f:

@@ -51,7 +51,6 @@ def get_activations(files, params, batch_size=50):
     forward = jax.jit(lambda x: inception_forward(params, x, fid_variant=True))
     batch_size = min(batch_size, len(files))
     out = np.empty((len(files), 2048), np.float64)
-    pad_fn = None
     for start in range(0, len(files), batch_size):
         chunk = files[start: start + batch_size]
         images = np.stack([imread(f).astype(np.float32) / 255.0
@@ -63,7 +62,6 @@ def get_activations(files, params, batch_size=50):
                                   np.float32)])
         acts = np.asarray(forward(jnp.asarray(images)))
         out[start: start + n] = acts[:n]
-    del pad_fn
     return out
 
 
@@ -80,7 +78,7 @@ def calculate_frechet_distance(mu1, sigma1, mu2, sigma2, eps=1e-6):
     assert mu1.shape == mu2.shape and sigma1.shape == sigma2.shape
 
     diff = mu1 - mu2
-    covmean, _ = linalg.sqrtm(sigma1.dot(sigma2), disp=False)
+    covmean = linalg.sqrtm(sigma1.dot(sigma2))
     if not np.isfinite(covmean).all():
         print(f"fid calculation produces singular product; adding {eps} to "
               "diagonal of cov estimates")

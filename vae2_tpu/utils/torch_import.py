@@ -192,10 +192,7 @@ def _convert_leaf(torch_module: str, leaf: str, collection: str,
 
 
 def _walk(tree: Any, path: Tuple[str, ...] = ()):
-    if isinstance(tree, dict) and not all(
-            isinstance(v, (np.ndarray,)) or hasattr(v, "shape")
-            for v in tree.values()):
-        pass
+    """Yield (path, leaf) pairs for every array leaf of a nested dict."""
     if isinstance(tree, dict):
         for k, v in tree.items():
             if hasattr(v, "shape"):
