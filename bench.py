@@ -21,8 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-CHUNK = 64  # prior samples folded per forward (large batch fills the MXU)
-ITERS = 8
+CHUNK = 256  # prior samples folded per forward (fills the MXU)
+ITERS = 4
 H, W = 128, 256
 
 

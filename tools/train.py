@@ -102,6 +102,16 @@ def main():
     example_batch = {k: normalize_clips(v[:1]) for k, v in example_batch.items()}
     state = system.init(init_rng, example_batch)
     log_model_summary(logger, state)
+    if config.MODEL.PRETRAINED and os.path.isfile(config.MODEL.PRETRAINED):
+        # seed trunks from an ImageNet/seg HRNet torch checkpoint with the
+        # reference's conv1 channel-replication surgery (enc_hrnet.py:753-785)
+        from vae2_tpu.utils.torch_import import import_pretrained_trunk
+        state, missing = import_pretrained_trunk(
+            state, config.MODEL.PRETRAINED,
+            clip_length=config.TRAIN.CLIP_LENGTH,
+            is_baseline=config.MODEL.EXTRA.IS_BASELINE)
+        logger.info("=> loaded pretrained %s (%d fresh-init leaves)",
+                    config.MODEL.PRETRAINED, len(missing))
     state = shard_state(state, mesh)
 
     train_step = system.make_train_step(

@@ -224,7 +224,13 @@ def import_params(params: Dict[str, Any], batch_stats: Dict[str, Any],
             if new is None:
                 missing.append("/".join((net,) + path) + f" <- {tmod}")
                 continue
-            new = np.asarray(new, dtype=np.float32).reshape(val.shape)
+            new = np.asarray(new, dtype=np.float32)
+            if new.size != int(np.prod(val.shape)):
+                missing.append("/".join((net,) + path)
+                               + f" <- {tmod} (shape {new.shape} vs "
+                               f"{tuple(val.shape)})")
+                continue
+            new = new.reshape(val.shape)
             node = out
             for p in path[:-1]:
                 node = node[p]
@@ -251,3 +257,75 @@ def import_reference_checkpoint(state, path: str, strict: bool = False):
     params, stats, missing = import_params(
         dict(state.params), dict(state.batch_stats), sd, strict=strict)
     return state.replace(params=params, batch_stats=stats), missing
+
+
+def import_pretrained_trunk(state, path: str, clip_length: int = 3,
+                            is_baseline: bool = False):
+    """Seed every network's trunk from a plain (ImageNet/seg) HRNet torch
+    checkpoint — the reference's MODEL.PRETRAINED surgery
+    (enc_hrnet.py:753-785, 1043-1068, 1156-1183):
+
+    - every trunk weight whose name matches loads as-is ('last_layer*'
+      heads are skipped),
+    - ``conv1.weight`` (3-channel stem) is input-channel-replicated to each
+      net's stem width: encoder x(2L if baseline else L) with L=clip_length,
+      decoders xL, posterior x(3L if baseline else 2L), sequence
+      discriminator xL, frame discriminator x1,
+    - the same trunk weights clone into the decf_/decp_ decoder copies
+      (here: our dec_future/dec_past trunks).
+    """
+    sd = load_torch_state_dict(path)
+    # strip an optional 'model.' prefix (enc_hrnet.py:765)
+    sd = {k[len("model."):] if k.startswith("model.") else k: v
+          for k, v in sd.items()}
+
+    reps = {
+        ("encdec", "encoder"): (2 * clip_length if is_baseline
+                                else clip_length),
+        ("encdec", "dec_future"): clip_length,
+        ("encdec", "dec_past"): clip_length,
+        ("encz", None): 3 * clip_length if is_baseline else 2 * clip_length,
+        ("d_seq", None): clip_length,
+        ("d_frame", None): 1,
+    }
+
+    def expanded(net, sub):
+        """sd view with composite prefixes + conv1 replication for (net, sub)."""
+        rep = reps[(net, sub)]
+        out = {}
+        torch_net = {"encdec": "encdec_model", "encz": "encz_model",
+                     "d_seq": "D_model_sequence",
+                     "d_frame": "D_model_frame"}[net]
+        dec_prefix = {"encoder": "", "dec_future": "decf_",
+                      "dec_past": "decp_", None: ""}[sub]
+        for k, v in sd.items():
+            if "last_layer" in k or "transition3_e" in k:
+                # heads are task-specific; z-inject widths differ per net
+                continue
+            if k == "conv1.weight" and rep > 1:
+                v = np.tile(v, (1, rep, 1, 1))
+            out[f"{torch_net}.{dec_prefix}{k}"] = v
+        return out
+
+    params = dict(state.params)
+    stats = dict(state.batch_stats)
+    all_missing: List[str] = []
+    for (net, sub) in reps:
+        if net not in params:
+            continue
+        view = expanded(net, sub)
+        sub_p = params[net] if sub is None else {sub: params[net][sub]}
+        sub_s = (stats.get(net, {}) if sub is None
+                 else {sub: stats.get(net, {}).get(sub, {})})
+        new_p, new_s, missing = import_params(
+            {net: sub_p}, {net: sub_s}, view, strict=False)
+        if sub is None:
+            params[net] = new_p[net]
+            if stats.get(net):
+                stats[net] = new_s[net]
+        else:
+            params[net] = {**params[net], sub: new_p[net][sub]}
+            if stats.get(net):
+                stats[net] = {**stats[net], sub: new_s[net][sub]}
+        all_missing += missing
+    return state.replace(params=params, batch_stats=stats), all_missing
