@@ -135,6 +135,47 @@ def test_prior_sampling_eval_step():
     assert not np.allclose(np.asarray(preds1[1]), np.asarray(preds2[1]))
 
 
+def test_momentum_sampling():
+    """momentum_sampling conditions the posterior on the previous window's
+    clips (reference utils.py:195); needs xt_last/x3t_last batch keys."""
+    cfg = _toy_config()
+    system = build_system(cfg)
+    b = _small_batch(8)
+    batch = {k: jnp.asarray(v) for k, v in b.items()}
+    batch["xt_last"] = batch["xt"] * 0.9
+    batch["x3t_last"] = batch["x3t"] * 0.9
+    state = system.init(jax.random.PRNGKey(0), batch)
+    # amplify the posterior weights so input sensitivity is measurable
+    # (fresh init is std=0.001 -> deltas vanish below float tolerance)
+    g_params = system._g_params(state.params)
+    g_params["encz"] = jax.tree.map(lambda x: x * 100.0, g_params["encz"])
+
+    loss, (metrics, preds, _) = system.generator_loss(
+        g_params, system._d_params(state.params),
+        state.batch_stats, batch, jax.random.PRNGKey(1),
+        jnp.float32(1.0), sampling_mode="momentum_sampling", train=False)
+    assert np.isfinite(float(loss))
+    # different previous-window clips -> different z -> different preds
+    batch2 = dict(batch)
+    batch2["xt_last"] = batch["xt_last"] + 10.0
+    _, (_, preds2, _) = system.generator_loss(
+        g_params, system._d_params(state.params),
+        state.batch_stats, batch2, jax.random.PRNGKey(1),
+        jnp.float32(1.0), sampling_mode="momentum_sampling", train=False)
+    assert not np.allclose(np.asarray(preds[1]), np.asarray(preds2[1]))
+    # while changing the CURRENT clips (not fed to the posterior in momentum
+    # mode) with identical z leaves the posterior's z unchanged: check via
+    # identical KL metric
+    batch3 = dict(batch)
+    batch3["x3t"] = batch["x3t"] + 5.0  # posterior must NOT see this
+    _, (m3, _, _) = system.generator_loss(
+        g_params, system._d_params(state.params),
+        state.batch_stats, batch3, jax.random.PRNGKey(1),
+        jnp.float32(1.0), sampling_mode="momentum_sampling", train=False)
+    np.testing.assert_allclose(float(m3["loss_z_KL"]),
+                               float(metrics["loss_z_KL"]), rtol=1e-6)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     cfg = _toy_config()
     system = build_system(cfg)

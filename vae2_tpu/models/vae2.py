@@ -48,14 +48,21 @@ class _TrunkWithHeads(nn.Module):
     z_mode: str
     z_dim: int
     dtype: Any
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, z=None, train: bool = True,
                  mode: str = "full") -> Array:
-        feats = HRNetTrunk(
+        # jax.checkpoint per trunk: backward recomputes the trunk forward
+        # instead of storing its activations — the 128x256 batch-8 train step
+        # does not fit HBM otherwise (the reference relies on torch autograd's
+        # eager buffers + smaller per-GPU memory headroom).
+        trunk_cls = (nn.remat(HRNetTrunk, static_argnums=(3, 4))
+                     if self.remat else HRNetTrunk)
+        feats = trunk_cls(
             specs=self.specs, stem_stride=1, z_mode=self.z_mode,
             z_dim=self.z_dim, dtype=self.dtype, name="trunk",
-        )(x, z, train, mode=mode)
+        )(x, z, train, mode)
         if mode == "prefix":
             return feats
         y = concat_upsampled(feats)
@@ -79,6 +86,7 @@ class VAE2EncDec(nn.Module):
     baseline_mode: str = "VAE_NATIVE"
     z_dim: int = 32
     dtype: Any = jnp.bfloat16
+    remat: bool = False
 
     def setup(self):
         det = self.baseline_mode == "DETERMINISTIC"
@@ -87,7 +95,7 @@ class VAE2EncDec(nn.Module):
         head_kw = dict(
             specs=self.specs, num_heads=self.clip_length,
             num_classes=self.num_classes, final_kernel=self.final_kernel,
-            z_dim=self.z_dim, dtype=self.dtype,
+            z_dim=self.z_dim, dtype=self.dtype, remat=self.remat,
         )
         self.encoder = _TrunkWithHeads(z_mode=enc_z, name="encoder", **head_kw)
         self.dec_future = _TrunkWithHeads(z_mode=dec_z, name="dec_future", **head_kw)
@@ -141,13 +149,16 @@ class VAE2Posterior(nn.Module):
     hd_z: bool = True
     z_dim: int = 32
     dtype: Any = jnp.bfloat16
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: Array, train: bool = True):
-        feats = HRNetTrunk(
+        trunk_cls = (nn.remat(HRNetTrunk, static_argnums=(3, 4))
+                     if self.remat else HRNetTrunk)
+        feats = trunk_cls(
             specs=self.specs, stem_stride=1, z_mode="none",
             z_dim=self.z_dim, dtype=self.dtype, name="trunk",
-        )(x, None, train)
+        )(x, None, train, "full")
         if self.hd_z:
             outs: List[Array] = []
             for i, f in enumerate(feats):
@@ -176,13 +187,16 @@ class VAE2Discriminator(nn.Module):
     specs: Tuple[StageSpec, ...]
     final_kernel: int = 1
     dtype: Any = jnp.bfloat16
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: Array, train: bool = True) -> Array:
-        feats = HRNetTrunk(
+        trunk_cls = (nn.remat(HRNetTrunk, static_argnums=(3, 4))
+                     if self.remat else HRNetTrunk)
+        feats = trunk_cls(
             specs=self.specs, stem_stride=1, z_mode="none",
             dtype=self.dtype, name="trunk",
-        )(x, None, train)
+        )(x, None, train, "full")
         y = concat_upsampled(feats)
         return ConvHead(1, self.final_kernel, self.dtype,
                         name="last_layer")(y, train).astype(jnp.float32)
@@ -197,6 +211,10 @@ def _common(config):
     return extra, stage_specs_from_extra(extra), dtype
 
 
+def _remat(config) -> bool:
+    return bool(config.TPU.get("REMAT", True))
+
+
 def get_encdec_model(config) -> VAE2EncDec:
     extra, specs, dtype = _common(config)
     return VAE2EncDec(
@@ -208,6 +226,7 @@ def get_encdec_model(config) -> VAE2EncDec:
         baseline_mode=str(extra.BASELINE_MODE),
         z_dim=int(extra.get("Z_DIM", 32)),
         dtype=dtype,
+        remat=_remat(config),
     )
 
 
@@ -218,6 +237,7 @@ def get_encz_model(config) -> VAE2Posterior:
         hd_z=bool(extra.get("HD_Z", True)),
         z_dim=int(extra.get("Z_DIM", 32)),
         dtype=dtype,
+        remat=_remat(config),
     )
 
 
@@ -225,7 +245,7 @@ def get_D_sequence_model(config) -> VAE2Discriminator:
     extra, specs, dtype = _common(config)
     return VAE2Discriminator(
         specs=specs, final_kernel=int(extra.get("FINAL_CONV_KERNEL", 1)),
-        dtype=dtype)
+        dtype=dtype, remat=_remat(config))
 
 
 def get_D_frame_model(config) -> VAE2Discriminator:
