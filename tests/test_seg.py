@@ -105,6 +105,27 @@ def test_multi_scale_inference_shapes(seg_setup):
     assert np.isfinite(logits).all()
 
 
+def test_flip_pairs_channel_swap(seg_setup):
+    """LIP-style flip TTA swaps paired class logits when un-flipping
+    (reference lip.py:107-130)."""
+    cfg, model, variables = seg_setup
+    calls = []
+
+    def fake_infer(x):
+        calls.append(np.asarray(x))
+        # logits: channel c == c everywhere, plus a spatial marker
+        b, h, w, _ = x.shape
+        base = jnp.broadcast_to(jnp.arange(4.0), (b, h, w, 4))
+        return base + x[..., :1] * 0.0
+
+    out = flip_tta(fake_infer, jnp.zeros((1, 4, 4, 3)),
+                   flip_pairs=[(1, 2)])
+    # constant-channel logits: swap(1,2) then average -> channels 1,2 = 1.5
+    got = np.asarray(out)[0, 0, 0]
+    np.testing.assert_allclose(got, [0.0, 1.5, 1.5, 3.0], atol=1e-6)
+    assert len(calls) == 2
+
+
 def test_metric_helpers():
     # perfect prediction -> mIoU 1
     labels = np.random.RandomState(0).randint(0, 3, (2, 8, 8))

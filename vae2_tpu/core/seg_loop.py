@@ -105,11 +105,22 @@ def make_infer_fn(model, variables) -> Callable:
     return infer
 
 
-def flip_tta(infer: Callable, images: jnp.ndarray) -> jnp.ndarray:
-    """Average logits over horizontal flip (base_dataset.py:155-165)."""
+def flip_tta(infer: Callable, images: jnp.ndarray,
+             flip_pairs=None) -> jnp.ndarray:
+    """Average logits over horizontal flip (base_dataset.py:155-165).
+
+    ``flip_pairs``: list of (left, right) class-index pairs whose logit
+    channels must swap when un-flipping (the LIP human-parsing TTA,
+    reference lip.py:107-130).
+    """
     logits = infer(images)
-    flipped = infer(images[:, :, ::-1, :])
-    return (logits + flipped[:, :, ::-1, :]) * 0.5
+    flipped = infer(images[:, :, ::-1, :])[:, :, ::-1, :]
+    if flip_pairs:
+        idx = np.arange(logits.shape[-1])
+        for left, right in flip_pairs:
+            idx[left], idx[right] = idx[right], idx[left]
+        flipped = flipped[..., jnp.asarray(idx)]
+    return (logits + flipped) * 0.5
 
 
 def seg_validate(config, loader, model, variables) -> Tuple[float, float, np.ndarray]:
@@ -131,7 +142,8 @@ def seg_validate(config, loader, model, variables) -> Tuple[float, float, np.nda
 
 def multi_scale_inference(infer: Callable, image: np.ndarray,
                           crop_size: Tuple[int, int], num_classes: int,
-                          scales=(1.0,), flip: bool = False) -> np.ndarray:
+                          scales=(1.0,), flip: bool = False,
+                          flip_pairs=None) -> np.ndarray:
     """Sliding-window multi-scale logits for one image (HWC, normalized),
     TPU re-design of base_dataset.py:167-229: every window is the fixed
     crop_size so one compiled program serves all positions/scales."""
@@ -139,7 +151,7 @@ def multi_scale_inference(infer: Callable, image: np.ndarray,
 
     ori_h, ori_w = image.shape[:2]
     final = np.zeros((ori_h, ori_w, num_classes), np.float32)
-    run = (lambda x: flip_tta(infer, x)) if flip else infer
+    run = (lambda x: flip_tta(infer, x, flip_pairs)) if flip else infer
     for scale in scales:
         new_h = int(ori_h * scale + 0.5)
         new_w = int(ori_w * scale + 0.5)
@@ -184,7 +196,8 @@ def seg_testval(config, dataset, model, variables, sv_dir: str = "",
         if config.TEST.MULTI_SCALE or config.TEST.FLIP_TEST:
             logits = multi_scale_inference(
                 infer, image, crop, num_classes,
-                scales=config.TEST.SCALE_LIST, flip=config.TEST.FLIP_TEST)
+                scales=config.TEST.SCALE_LIST, flip=config.TEST.FLIP_TEST,
+                flip_pairs=getattr(dataset, "flip_pairs", None))
         else:
             logits = np.asarray(infer(jnp.asarray(image[None])))[0]
         if logits.shape[:2] != label.shape:

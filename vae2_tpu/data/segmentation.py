@@ -59,6 +59,8 @@ class SegDataset:
         if num_samples:
             self.files = self.files[:num_samples]
         self.class_weights: Optional[np.ndarray] = None
+        # (left, right) class pairs whose logits swap under flip TTA
+        self.flip_pairs: Optional[list] = None
 
     def read_files(self) -> List[dict]:
         files = []
@@ -216,6 +218,11 @@ LIP_LEFT_IDX = [14, 16, 18]
 class LIP(SegDataset):
     """LIP human-parsing dataset (reference lip.py:16-131): 20 classes,
     left/right label swap when flipping."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        # flip-TTA channel swap at inference (lip.py:107-130)
+        self.flip_pairs = list(zip(LIP_LEFT_IDX, LIP_RIGHT_IDX))
 
     def read_files(self) -> List[dict]:
         files = []
