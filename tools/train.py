@@ -99,7 +99,13 @@ def main():
     rng = jax.random.PRNGKey(args.seed)
     rng, init_rng = jax.random.split(rng)
     example_batch, _ = next(iter(loader))
-    example_batch = {k: normalize_clips(v[:1]) for k, v in example_batch.items()}
+    # Parameters are spatial-size-independent (convs + per-channel BN), so
+    # initialize on a small crop — the full-resolution init graph costs
+    # minutes of XLA compile on its own.
+    example_batch = {
+        k: normalize_clips(v[:1, : min(32, v.shape[1]), : min(64, v.shape[2])])
+        for k, v in example_batch.items()
+    }
     state = system.init(init_rng, example_batch)
     log_model_summary(logger, state)
     if config.MODEL.PRETRAINED and os.path.isfile(config.MODEL.PRETRAINED):
@@ -115,7 +121,8 @@ def main():
     state = shard_state(state, mesh)
 
     train_step = system.make_train_step(
-        donate=config.TPU.DONATE, preprocess=normalize_clips)
+        donate=config.TPU.DONATE, preprocess=normalize_clips,
+        split=config.TPU.SPLIT_STEP)
 
     last_epoch = 0
     if config.TRAIN.RESUME or config.AUTO_RESUME:

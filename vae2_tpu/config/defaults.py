@@ -157,6 +157,7 @@ def get_default_config() -> ConfigNode:
     cfg.TPU.DTYPE = "bfloat16"  # compute dtype; params & BN stats stay float32
     cfg.TPU.DONATE = True  # donate state buffers into the jitted train step
     cfg.TPU.REMAT = True  # jax.checkpoint per trunk (fit 128x256 bs8 in HBM)
+    cfg.TPU.SPLIT_STEP = False  # compile G/D updates separately (lower peak HBM)
     cfg.TPU.PREFETCH = 2  # host->device pipeline depth
     cfg.TPU.FUSED_ABN = "xla"  # 'xla' | 'pallas' fused BN+activation backend
     cfg.TPU.INFER_SAMPLE_BATCH = 32  # prior samples folded per device batch

@@ -412,14 +412,21 @@ class VAE2System:
     # -- jitted steps --------------------------------------------------------
 
     def make_train_step(self, donate: bool = True,
-                        preprocess: Optional[Callable] = None) -> Callable:
+                        preprocess: Optional[Callable] = None,
+                        split: bool = False) -> Callable:
         """Build the jitted adversarial step: G update then (optional) D update
         (reference function.py:482-516).
 
         ``preprocess`` runs *inside* the jit on the raw batch — e.g.
         ``normalize_clips`` so uint8 frames normalize on-device, fused with
         the first convolution's input pipeline.
+
+        ``split``: compile the G and D updates as two programs — lower peak
+        HBM (each program's temporaries die at its boundary) at the cost of a
+        second dispatch; for recipes that brush against HBM capacity.
         """
+        if split:
+            return self._make_split_train_step(donate, preprocess)
         h = self.hyper
         run_d_step = (not h.is_baseline) or h.baseline_mode == "VAE_GAN"
 
@@ -471,6 +478,65 @@ class VAE2System:
 
         donate_argnums = (0,) if donate else ()
         return jax.jit(step, donate_argnums=donate_argnums)
+
+    def _make_split_train_step(self, donate: bool,
+                               preprocess: Optional[Callable]) -> Callable:
+        """Two-program variant of the adversarial step (see make_train_step)."""
+        h = self.hyper
+        run_d_step = (not h.is_baseline) or h.baseline_mode == "VAE_GAN"
+
+        def g_step(state: VAE2State, batch, rng, multiplier):
+            if preprocess is not None:
+                batch = {k: preprocess(v) for k, v in batch.items()}
+            g_params = self._g_params(state.params)
+            d_params = self._d_params(state.params)
+            grad_fn = jax.value_and_grad(self.generator_loss, has_aux=True)
+            (_, (g_metrics, preds, batch_stats)), g_grads = grad_fn(
+                g_params, d_params, state.batch_stats, batch, rng, multiplier)
+            g_updates, opt_state_g = self.optimizer_g.update(
+                g_grads, state.opt_state_g, g_params)
+            g_params = optax.apply_updates(g_params, g_updates)
+            state = state.replace(
+                step=state.step + 1,
+                params={**state.params, **g_params},
+                batch_stats=batch_stats,
+                opt_state_g=opt_state_g,
+            )
+            return state, g_metrics, preds
+
+        def d_step(state: VAE2State, x2_real, x2p):
+            if preprocess is not None:
+                x2_real = preprocess(x2_real)
+            d_params = self._d_params(state.params)
+            dgrad_fn = jax.value_and_grad(self.discriminator_loss, has_aux=True)
+            (_, (d_metrics, batch_stats)), d_grads = dgrad_fn(
+                d_params, self._g_params(state.params), state.batch_stats,
+                x2_real, x2p)
+            d_updates, opt_state_d = self.optimizer_d.update(
+                d_grads, state.opt_state_d, d_params)
+            d_params = optax.apply_updates(d_params, d_updates)
+            state = state.replace(
+                params={**state.params, **d_params},
+                batch_stats=batch_stats,
+                opt_state_d=opt_state_d,
+            )
+            return state, d_metrics
+
+        g_jit = jax.jit(g_step, donate_argnums=(0,) if donate else ())
+        d_jit = jax.jit(d_step, donate_argnums=(0,) if donate else ())
+
+        def step(state, batch, rng, multiplier):
+            state, g_metrics, preds = g_jit(state, batch, rng, multiplier)
+            if run_d_step:
+                x2_real = batch["x3t"] if h.is_baseline else batch["x2t"]
+                state, d_metrics = d_jit(state, x2_real, preds[1])
+            else:
+                zero = jnp.float32(0.0)
+                d_metrics = {"loss_D": zero, "loss_D_sequence": zero,
+                             "loss_D_frame": zero}
+            return state, {**g_metrics, **d_metrics}, preds
+
+        return step
 
     def make_eval_step(self, sampling_mode: str = "prior_sampling",
                        preprocess: Optional[Callable] = None) -> Callable:

@@ -108,6 +108,10 @@ class BatchNormAct(nn.Module):
             mean = ra_mean.value
             var = ra_var.value
 
+        # Fold (mean, var, scale, bias) into per-channel (mul, add) in f32,
+        # then do the big elementwise normalize in the compute dtype — an f32
+        # elementwise here would materialize full-resolution f32 temps
+        # (2x HBM) wherever XLA can't fuse across the trunk boundary.
         inv = jax.lax.rsqrt(var + self.epsilon)
         if scale is not None:
             mul = inv * scale
@@ -115,8 +119,8 @@ class BatchNormAct(nn.Module):
         else:
             mul = inv
             add = -mean * mul
-        y = x.astype(jnp.float32) * mul + add
-        return _apply_act(y, self.act).astype(self.dtype)
+        y = x.astype(self.dtype) * mul.astype(self.dtype) + add.astype(self.dtype)
+        return _apply_act(y, self.act)
 
 
 def batch_norm_infer(

@@ -11,10 +11,17 @@ def count_params(tree) -> int:
     return int(sum(np.prod(l.shape) for l in jax.tree.leaves(tree)))
 
 
-def log_model_summary(logger, state) -> None:
+def log_model_summary(logger, state, detail: bool = False) -> None:
+    """Startup parameter summary; ``detail`` adds a per-submodule breakdown
+    (the role of the reference's forward-hook layer table,
+    modelsummary.py:19-135)."""
     total = 0
     for name, sub in state.params.items():
         n = count_params(sub)
         total += n
         logger.info("model %-8s: %10.2fM params", name, n / 1e6)
+        if detail and isinstance(sub, dict):
+            for mod_name, mod in sorted(sub.items()):
+                logger.info("  %-24s %10.3fM", mod_name,
+                            count_params(mod) / 1e6)
     logger.info("model total   : %10.2fM params", total / 1e6)
