@@ -105,7 +105,11 @@ class ClipLoader:
         if self.drop_last:
             batches = [b for b in batches if len(b) == self.batch_size]
         if not batches:
-            return
+            raise ValueError(
+                f"Loader yields no batches: {len(indices)} samples on this "
+                f"host < batch_size {self.batch_size} (drop_last="
+                f"{self.drop_last}). Reduce TRAIN.BATCH_SIZE_PER_GPU or add "
+                "data.")
         with cf.ThreadPoolExecutor(self.num_threads) as pool:
             window = self.prefetch + 1
             futures = [pool.submit(self._load_batch, b)

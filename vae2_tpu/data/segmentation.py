@@ -174,6 +174,9 @@ class CityscapesSeg(SegDataset):
         self.class_weights = CITYSCAPES_CLASS_WEIGHTS
 
     def convert_label(self, label, inverse=False):
+        # int32 working copy: the ignore label is -1 and raw labels arrive as
+        # uint8 from cv2 (would overflow on assignment)
+        label = label.astype(np.int32)
         temp = label.copy()
         if inverse:
             for v, k in CITYSCAPES_LABEL_MAP.items():
@@ -205,6 +208,7 @@ class CityscapesSeg(SegDataset):
         preds = np.asarray(np.argmax(preds, axis=-1), dtype=np.uint8)
         for i in range(preds.shape[0]):
             pred = self.convert_label(preds[i], inverse=True)
+            pred = np.clip(pred, 0, 255).astype(np.uint8)
             save_img = Image.fromarray(pred)
             save_img.putpalette(palette)
             save_img.save(os.path.join(sv_path, names[i] + ".png"))
