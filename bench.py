@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-CHUNK = 256  # prior samples folded per forward (fills the MXU)
+CHUNK = 256  # prior samples folded per forward (single-chip HBM ceiling: 512 OOMs)
 ITERS = 4
 H, W = 128, 256
 
