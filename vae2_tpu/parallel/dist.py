@@ -29,8 +29,8 @@ def initialize_distributed() -> None:
     No-ops for single-process runs. Safe to call unconditionally from the
     CLIs.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
+    # NOTE: must run before anything initializes the XLA backend — do not
+    # query jax.process_count()/jax.devices() before initialize().
     coord = os.environ.get("COORDINATOR_ADDRESS")
     nproc = os.environ.get("NUM_PROCESSES")
     pid = os.environ.get("PROCESS_ID")

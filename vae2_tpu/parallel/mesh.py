@@ -55,15 +55,25 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def shard_batch_fn(mesh: Mesh) -> Callable[[Dict[str, Any]], Dict[str, Any]]:
     """Returns a host->device transfer fn placing each clip with the batch
-    sharding. 1-D arrays (toy) shard on 'data' only."""
+    sharding. 1-D arrays (toy) shard on 'data' only.
+
+    Multi-process: each host holds its own slice of the global batch (from
+    ClipLoader's per-host shard); ``make_array_from_process_local_data``
+    assembles the global sharded array (the DistributedSampler+DDP input
+    contract, reference tools/train.py:129-141).
+    """
     clip_s = batch_sharding(mesh)
     vec_s = NamedSharding(mesh, P("data"))
+    multi_process = jax.process_count() > 1
 
     def put(batch: Dict[str, Any]) -> Dict[str, Any]:
         out = {}
         for k, v in batch.items():
             s = clip_s if getattr(v, "ndim", 0) >= 3 else vec_s
-            out[k] = jax.device_put(v, s)
+            if multi_process:
+                out[k] = jax.make_array_from_process_local_data(s, v)
+            else:
+                out[k] = jax.device_put(v, s)
         return out
 
     return put
