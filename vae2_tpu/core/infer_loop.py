@@ -21,8 +21,7 @@ from __future__ import annotations
 
 import logging
 import os
-from functools import partial
-from typing import Callable, Dict, List, Optional, Tuple
+from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -24,14 +24,12 @@ TPU-first design choices:
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
-from flax.core import freeze, unfreeze
 
 from . import losses
 

@@ -15,8 +15,7 @@ subprocesses + ``DistributedSampler`` (reference tools/train.py:129-141):
 from __future__ import annotations
 
 import concurrent.futures as cf
-import threading
-from typing import Dict, Iterator, List, Optional, Tuple
+from typing import Dict, Iterator, List, Tuple
 
 import jax
 import jax.numpy as jnp

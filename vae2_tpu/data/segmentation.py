@@ -11,7 +11,7 @@ vae2_tpu/core/seg_loop.py (jitted fixed-size window inference).
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import cv2
 import numpy as np

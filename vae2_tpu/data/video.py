@@ -18,7 +18,7 @@ from __future__ import annotations
 import logging
 import os
 import zipfile
-from typing import Dict, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 from PIL import Image

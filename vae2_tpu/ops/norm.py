@@ -25,7 +25,7 @@ dtype (bfloat16 activations) — matmul in bf16, statistics in f32.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
