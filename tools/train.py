@@ -20,7 +20,7 @@ import _init_paths  # noqa: F401
 from vae2_tpu.config import config, update_config
 from vae2_tpu.core.builder import build_system
 from vae2_tpu.core.train_loop import adversarial_train
-from vae2_tpu.data.loader import ClipLoader, normalize_clips
+from vae2_tpu.data.loader import ClipLoader, DevicePrefetcher, normalize_clips
 from vae2_tpu.data.video import make_dataset
 from vae2_tpu.parallel.mesh import make_mesh, shard_batch_fn, shard_state
 from vae2_tpu.utils.checkpoint import maybe_resume, save_checkpoint
@@ -137,14 +137,15 @@ def main():
         extra_phase = epoch >= config.TRAIN.END_EPOCH and extra_loader is not None
         cur_loader = extra_loader if extra_phase else loader
         cur_loader.set_epoch(epoch)
+        prefetched = DevicePrefetcher(cur_loader, put_fn=device_put,
+                                      depth=config.TPU.PREFETCH)
         state, rng = adversarial_train(
             config,
             epoch - config.TRAIN.END_EPOCH if extra_phase else epoch,
             config.TRAIN.EXTRA_EPOCH if extra_phase else config.TRAIN.END_EPOCH,
-            train_step, state, cur_loader, rng,
+            train_step, state, prefetched, rng,
             writer_dict=writer_dict, final_output_dir=final_output_dir,
-            use_multiplier=config.TRAIN.USE_X2RECON_MULTIPLIER,
-            device_put=device_put)
+            use_multiplier=config.TRAIN.USE_X2RECON_MULTIPLIER)
 
         if jax.process_index() == 0:
             ckpt = os.path.join(final_output_dir, "checkpoint.msgpack")

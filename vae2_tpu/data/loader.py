@@ -124,28 +124,30 @@ class ClipLoader:
 
 
 class DevicePrefetcher:
-    """Wraps a loader: device_put with an optional sharding, keeping
-    ``depth`` batches in flight so host decode overlaps device compute."""
+    """Wraps a loader and eagerly transfers ``depth`` batches ahead of
+    consumption, so host->device copies overlap device compute.
 
-    def __init__(self, loader, sharding=None, depth: int = 2):
+    ``put_fn`` maps a host batch dict to device arrays (e.g. the mesh
+    shard_batch_fn); defaults to plain device_put. ``set_epoch`` forwards to
+    the wrapped loader.
+    """
+
+    def __init__(self, loader, put_fn=None, depth: int = 2):
         self.loader = loader
-        self.sharding = sharding
+        self.put_fn = put_fn or (lambda b: jax.tree.map(jax.device_put, b))
         self.depth = max(1, depth)
 
     def __len__(self):
         return len(self.loader)
 
-    def _put(self, batch):
-        if self.sharding is not None:
-            return jax.tree.map(
-                lambda x: jax.device_put(x, self.sharding), batch)
-        return jax.tree.map(jax.device_put, batch)
+    def set_epoch(self, epoch: int) -> None:
+        if hasattr(self.loader, "set_epoch"):
+            self.loader.set_epoch(epoch)
 
     def __iter__(self):
         queue: List = []
-        it = iter(self.loader)
-        for batch, names in it:
-            queue.append((self._put(batch), names))
+        for batch, names in self.loader:
+            queue.append((self.put_fn(batch), names))
             if len(queue) >= self.depth:
                 yield queue.pop(0)
         while queue:
