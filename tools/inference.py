@@ -66,7 +66,7 @@ def main():
     template = template_from_init(system, jax.random.PRNGKey(0), example_batch)
 
     ckpt = args.checkpoint or os.path.join(final_output_dir, "checkpoint.msgpack")
-    state, epoch = load_checkpoint(ckpt, template)
+    state, epoch = load_checkpoint(ckpt, template, restore_opt=False)
     logger.info("=> loaded checkpoint %s (epoch %d)", ckpt, epoch)
 
     run_inference(config, system, state, loader, final_output_dir, epoch, rng,

@@ -127,7 +127,7 @@ def main():
         {k: jnp.asarray(v) for k, v in example_batch.items()})
 
     ckpt = args.checkpoint or os.path.join(final_output_dir, "checkpoint.msgpack")
-    state, epoch = load_checkpoint(ckpt, template)
+    state, epoch = load_checkpoint(ckpt, template, restore_opt=False)
     logger.info("=> loaded checkpoint %s (epoch %d)", ckpt, epoch)
 
     eval_step = system.make_eval_step("prior_sampling")

@@ -30,12 +30,35 @@ def save_checkpoint(path: str, state: Any, epoch: int) -> None:
     os.replace(tmp, path)
 
 
-def load_checkpoint(path: str, template_state: Any) -> Tuple[Any, int]:
-    """Restore a state saved by ``save_checkpoint``; returns (state, epoch)."""
+def load_checkpoint(path: str, template_state: Any,
+                    restore_opt: bool = True) -> Tuple[Any, int]:
+    """Restore a state saved by ``save_checkpoint``; returns (state, epoch).
+
+    ``restore_opt=False`` restores only params/batch_stats/step and keeps the
+    template's optimizer state — for inference/eval, where the checkpoint may
+    have been trained with a different optimizer than the current config
+    (optax opt-state pytrees are optimizer-specific namedtuples).
+    """
     with open(path, "rb") as f:
         raw = serialization.msgpack_restore(f.read())
     epoch = int(raw["epoch"])
-    state = serialization.from_state_dict(template_state, raw["state"])
+    sd = raw["state"]
+    if restore_opt or not hasattr(template_state, "replace"):
+        state = serialization.from_state_dict(template_state, sd)
+    else:
+        # optimizer state is dropped entirely (empty pytrees) — eval paths
+        # never read it, and leaving eval_shape placeholders in the state
+        # would break jit argument tracing.
+        state = template_state.replace(
+            step=serialization.from_state_dict(template_state.step,
+                                               sd["step"]),
+            params=serialization.from_state_dict(template_state.params,
+                                                 sd["params"]),
+            batch_stats=serialization.from_state_dict(
+                template_state.batch_stats, sd["batch_stats"]),
+            opt_state_g=(),
+            opt_state_d=(),
+        )
     return state, epoch
 
 
