@@ -42,10 +42,14 @@ Params = Dict[str, Dict[str, Array]]
 
 def _conv_bn_relu(p: Dict[str, Array], x: Array, stride: int = 1,
                   padding=((0, 0), (0, 0))) -> Array:
-    """BasicConv2d: conv (no bias) + BN(eps=1e-3, running stats) + ReLU."""
+    """BasicConv2d: conv (no bias) + BN(eps=1e-3, running stats) + ReLU.
+
+    precision=HIGHEST: FID features must be computed in full f32 (TPU convs
+    default to bf16 passes, which would shift FID vs the CUDA reference)."""
     x = jax.lax.conv_general_dilated(
         x, p["w"], (stride, stride), padding,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST)
     inv = jax.lax.rsqrt(p["bn_var"] + 1e-3)
     x = (x - p["bn_mean"]) * inv * p["bn_scale"] + p["bn_bias"]
     return jax.nn.relu(x)

@@ -31,15 +31,20 @@ def _blur(x: Array, kernel: np.ndarray) -> Array:
     """Separable valid-mode gaussian filter over H and W, per channel."""
     k = jnp.asarray(kernel)
     c = x.shape[-1]
-    # depthwise separable filter via feature_group_count; HWIO weights
+    # depthwise separable filter via feature_group_count; HWIO weights.
+    # precision=HIGHEST: TPU convs default to bf16 passes, which corrupts the
+    # statistics (a constant image came back with ~0.2% gain, inflating the
+    # sigma terms and breaking SSIM entirely) — metrics must be exact f32.
     w_h = jnp.tile(k.reshape(-1, 1, 1, 1), (1, 1, 1, c))
     w_w = jnp.tile(k.reshape(1, -1, 1, 1), (1, 1, 1, c))
     dn = jax.lax.conv_dimension_numbers(x.shape, w_h.shape,
                                         ("NHWC", "HWIO", "NHWC"))
     x = jax.lax.conv_general_dilated(
-        x, w_h, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c)
+        x, w_h, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST)
     x = jax.lax.conv_general_dilated(
-        x, w_w, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c)
+        x, w_w, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST)
     return x
 
 
