@@ -55,6 +55,20 @@ def test_ssim_degrades_with_noise():
     assert s_small > s_big
 
 
+def test_ssim_degenerate_images_stay_bounded():
+    """Regression: TPU convs default to bf16 passes; the gaussian blur then
+    returns constant images with a ~0.2% gain, inflating sigma terms and
+    producing SSIM/MS-SSIM > 1 (observed 3.5 in inference dumps). With
+    precision=HIGHEST the metrics stay in [0, 1] on every backend."""
+    x = np.full((1, 128, 256, 3), 124.64, np.float32)
+    y = np.zeros((1, 128, 256, 3), np.float32)
+    s = float(ssim(x, y))
+    m = float(ms_ssim(x, y))
+    assert 0.0 <= s <= 1.0, s
+    assert 0.0 <= m <= 1.0, m
+    assert float(ms_ssim(x, x)) > 0.9999
+
+
 def test_ms_ssim_range_and_identity():
     rng = np.random.RandomState(3)
     x = rng.rand(1, 64, 64, 3).astype(np.float32) * 255
