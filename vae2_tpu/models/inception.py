@@ -179,7 +179,11 @@ def inception_forward(params: Params, x: Array, fid_variant: bool = True,
     """
     include_pad = not fid_variant  # FID patch: count_include_pad=False
     # resize to 299 + scale to [-1, 1] (fid_score.py resize/normalize_input)
-    x = jax.image.resize(x, (x.shape[0], 299, 299, x.shape[3]), "bilinear")
+    # antialias=False: torch F.interpolate does not antialias, and jax's
+    # default antialiased downsample would shift FID features for inputs
+    # larger than 299 (golden-tested in tests/test_torch_parity_fid.py).
+    x = jax.image.resize(x, (x.shape[0], 299, 299, x.shape[3]), "bilinear",
+                         antialias=False)
     x = 2.0 * x - 1.0
 
     for name, stride, pad in _STEM:
