@@ -33,6 +33,15 @@ def parse_args():
     parser.add_argument("--checkpoint", default="", type=str,
                         help="msgpack checkpoint (default: OUTPUT_DIR one)")
     parser.add_argument("--num-samples", default=100, type=int)
+    parser.add_argument(
+        "--clip-num", default=3, type=int, choices=(3, 5),
+        help="clips per eval sample; 5 enables the momentum-eval window "
+             "layout (reference function.py:109-115)")
+    parser.add_argument(
+        "--sampling-mode", default="prior_sampling",
+        choices=("prior_sampling", "momentum_sampling"),
+        help="momentum_sampling draws z from the previous window's "
+             "posterior (reference utils.py:186-207; needs --clip-num 5)")
     parser.add_argument("--no-images", action="store_true",
                         help="skip PNG dumps, write metric txts only")
     parser.add_argument("--seed", default=0, type=int)
@@ -51,8 +60,11 @@ def main():
 
     # Eval data: fixed clip position, no shuffle (reference
     # tools/inference.py:116-133).
+    if args.sampling_mode == "momentum_sampling" and args.clip_num != 5:
+        raise SystemExit("--sampling-mode momentum_sampling needs --clip-num 5")
     dataset = make_dataset(config, config.DATASET.TEST_SET, random_pos=False,
-                           num_samples=config.TEST.NUM_SAMPLES or None)
+                           num_samples=config.TEST.NUM_SAMPLES or None,
+                           clip_num=args.clip_num)
     loader = ClipLoader(
         dataset, batch_size=config.TEST.BATCH_SIZE_PER_GPU, shuffle=False,
         drop_last=False, num_threads=config.WORKERS,
@@ -71,7 +83,8 @@ def main():
 
     run_inference(config, system, state, loader, final_output_dir, epoch, rng,
                   num_samples=args.num_samples,
-                  save_images=not args.no_images)
+                  save_images=not args.no_images,
+                  sampling_mode=args.sampling_mode)
     logger.info("Done")
 
 

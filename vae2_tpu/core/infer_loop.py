@@ -30,7 +30,7 @@ import numpy as np
 from ..data.loader import denormalize_clips, normalize_clips
 from ..ops.ssim import ms_ssim, ssim
 from .losses import psnr as psnr_fn
-from .system import VAE2State, VAE2System
+from .system import VAE2State, VAE2System, split_muvar
 
 logger = logging.getLogger("vae2_tpu")
 
@@ -49,6 +49,27 @@ def prior_z_shapes(hyper, height: int, width: int) -> Optional[list]:
     return [(hyper.z_dim,)]
 
 
+def _decode_samples(system: VAE2System, state: VAE2State, enc_in, z,
+                    rng_code, chunk: int):
+    """Decode ``chunk`` folded latent samples through the encoder/decoders,
+    using the shared z-independent prefix when available."""
+    h = system.hyper
+    encdec = system.modules["encdec"]
+    shared_prefix = hasattr(encdec, "sample") and not h.deterministic
+    variables = {"params": state.params["encdec"]}
+    if state.batch_stats.get("encdec"):
+        variables["batch_stats"] = state.batch_stats["encdec"]
+    if shared_prefix:
+        # z-independent encoder prefix computed once, broadcast to all
+        # chunk samples (see VAE2EncDec.sample)
+        return encdec.apply(
+            variables, enc_in, z, False, rngs={"sample": rng_code},
+            method="sample")
+    enc_in = jnp.broadcast_to(enc_in, (chunk,) + enc_in.shape[1:])
+    return encdec.apply(
+        variables, enc_in, z, False, rngs={"sample": rng_code})
+
+
 def make_prior_sampler(system: VAE2System, chunk: int,
                        height: int, width: int) -> Callable:
     """Jitted fn: (state, xt, x2t, rng) -> (x1p, x2p, x3p) with ``chunk``
@@ -56,9 +77,6 @@ def make_prior_sampler(system: VAE2System, chunk: int,
     (1, H, W, C); outputs are (chunk, H, W, C) normalized floats."""
     h = system.hyper
     z_shapes = prior_z_shapes(h, height, width)
-
-    encdec = system.modules["encdec"]
-    shared_prefix = hasattr(encdec, "sample") and not h.deterministic
 
     def fn(state: VAE2State, xt, x2t, rng):
         xt = normalize_clips(xt)
@@ -73,20 +91,46 @@ def make_prior_sampler(system: VAE2System, chunk: int,
                  for k, s in zip(keys, z_shapes)]
         else:
             z = jax.random.normal(rng_z, (chunk,) + z_shapes[0], jnp.float32)
-        variables = {"params": state.params["encdec"]}
-        if state.batch_stats.get("encdec"):
-            variables["batch_stats"] = state.batch_stats["encdec"]
-        if shared_prefix:
-            # z-independent encoder prefix computed once, broadcast to all
-            # chunk samples (see VAE2EncDec.sample)
-            x1p, x2p, x3p = encdec.apply(
-                variables, enc_in, z, False, rngs={"sample": rng_code},
-                method="sample")
+        return _decode_samples(system, state, enc_in, z, rng_code, chunk)
+
+    return jax.jit(fn)
+
+
+def make_momentum_sampler(system: VAE2System, chunk: int) -> Callable:
+    """Jitted fn: (state, xt, x2t, xt_last, x3t_last, rng) -> (x1p, x2p, x3p)
+    with ``chunk`` posterior draws folded into the batch axis.
+
+    Momentum sampling (reference utils.py:186-207): z is drawn from the
+    posterior conditioned on the PREVIOUS clip window —
+    ``z = mu + exp(logvar/2) * eps`` with ``(mu, logvar) =
+    encz(concat(xt_last, x3t_last))`` — instead of N(0, I). Requires a
+    5-clip eval batch (make_dataset(clip_num=5))."""
+    h = system.hyper
+    if h.deterministic:
+        raise ValueError("momentum_sampling needs a stochastic model (encz)")
+
+    def fn(state: VAE2State, xt, x2t, xt_last, x3t_last, rng):
+        xt = normalize_clips(xt)
+        x2t = normalize_clips(x2t)
+        xt_last = normalize_clips(xt_last)
+        x3t_last = normalize_clips(x3t_last)
+        enc_in = system._encoder_input(xt, x2t)
+        rng_eps, rng_code = jax.random.split(rng)
+        q_in = jnp.concatenate([xt_last, x3t_last], axis=-1)
+        muvars, _ = system._apply(
+            "encz", state.params, state.batch_stats, q_in, train=False)
+        mus, logvars = split_muvar(muvars, h.z_dim)
+        # chunk reparameterized draws from the batch-1 posterior, folded
+        # into the batch axis (mu/sigma broadcast from (1, ...) to (chunk, ...))
+        if isinstance(mus, (list, tuple)):
+            keys = jax.random.split(rng_eps, len(mus))
+            z = [m + jnp.exp(0.5 * v)
+                 * jax.random.normal(k, (chunk,) + m.shape[1:], m.dtype)
+                 for m, v, k in zip(mus, logvars, keys)]
         else:
-            enc_in = jnp.broadcast_to(enc_in, (chunk,) + enc_in.shape[1:])
-            x1p, x2p, x3p = encdec.apply(
-                variables, enc_in, z, False, rngs={"sample": rng_code})
-        return x1p, x2p, x3p
+            z = mus + jnp.exp(0.5 * logvars) * jax.random.normal(
+                rng_eps, (chunk,) + mus.shape[1:], mus.dtype)
+        return _decode_samples(system, state, enc_in, z, rng_code, chunk)
 
     return jax.jit(fn)
 
@@ -160,14 +204,24 @@ def _save_pred_pngs(save_path: str, tag: str, pred255: np.ndarray,
 
 def run_inference(config, system: VAE2System, state: VAE2State, loader,
                   final_output_dir: str, epoch: int, rng,
-                  num_samples: int = 100, save_images: bool = True) -> None:
-    """Full inference sweep (reference function.py:55-441, image branch)."""
+                  num_samples: int = 100, save_images: bool = True,
+                  sampling_mode: str = "prior_sampling") -> None:
+    """Full inference sweep (reference function.py:55-441, image branch).
+
+    ``sampling_mode``: 'prior_sampling' (default, z ~ N(0,I)) or
+    'momentum_sampling' (z from the previous window's posterior — needs a
+    5-clip loader, reference utils.py:186-207)."""
     from .train_loop import save_frames_png
 
     h_img = config.TRAIN.IMAGE_SIZE[1]
     w_img = config.TRAIN.IMAGE_SIZE[0]
     chunk = min(int(config.TPU.INFER_SAMPLE_BATCH), num_samples)
-    sampler = make_prior_sampler(system, chunk, h_img, w_img)
+    if sampling_mode == "momentum_sampling":
+        sampler = make_momentum_sampler(system, chunk)
+    elif sampling_mode == "prior_sampling":
+        sampler = make_prior_sampler(system, chunk, h_img, w_img)
+    else:
+        raise ValueError(f"unsupported sampling_mode: {sampling_mode}")
     metric_fn = make_metric_fn()
     is_baseline = system.hyper.is_baseline
 
@@ -180,6 +234,10 @@ def run_inference(config, system: VAE2System, state: VAE2State, loader,
             batch = {"xt_last": batch["xt"], "x3t_last": batch["x3t"],
                      "xt": batch["x3t"], "x2t": batch["x4t"],
                      "x3t": batch["x5t"]}
+        if sampling_mode == "momentum_sampling" and "xt_last" not in batch:
+            raise ValueError(
+                "momentum_sampling needs a 5-clip eval batch — run the "
+                "inference CLI with --clip-num 5")
         # Reference evaluates the last batch element only (function.py:222+).
         xt = jnp.asarray(batch["xt"][-1:])
         x2t = jnp.asarray(batch["x2t"][-1:])
@@ -194,7 +252,12 @@ def run_inference(config, system: VAE2System, state: VAE2State, loader,
         done = 0
         while done < num_samples:
             rng, k = jax.random.split(rng)
-            x1p, x2p, x3p = sampler(state, xt, x2t, k)
+            if sampling_mode == "momentum_sampling":
+                x1p, x2p, x3p = sampler(
+                    state, xt, x2t, jnp.asarray(batch["xt_last"][-1:]),
+                    jnp.asarray(batch["x3t_last"][-1:]), k)
+            else:
+                x1p, x2p, x3p = sampler(state, xt, x2t, k)
             take = min(chunk, num_samples - done)
             # x2 prediction vs x2t (or x3t for the future-predicting baseline,
             # function.py:242)
