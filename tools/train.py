@@ -108,6 +108,20 @@ def main():
     }
     state = system.init(init_rng, example_batch)
     log_model_summary(logger, state)
+    if config.TPU.LAYER_SUMMARY:
+        # per-layer shapes/params/FLOPs table (reference modelsummary.py:
+        # train.py:92-98). FLOPs need the CPU backend's cost analysis, so
+        # the table is produced by tools/model_summary.py in a subprocess.
+        import subprocess
+        import sys
+
+        tool = os.path.join(os.path.dirname(__file__), "model_summary.py")
+        out = subprocess.run(
+            [sys.executable, tool, "--cfg", args.cfg] + (args.opts or []),
+            capture_output=True, text=True)
+        logger.info("per-layer model summary:\n%s", out.stdout)
+        if out.returncode != 0:
+            logger.warning("model_summary failed: %s", out.stderr[-2000:])
     if config.MODEL.PRETRAINED and os.path.isfile(config.MODEL.PRETRAINED):
         # seed trunks from an ImageNet/seg HRNet torch checkpoint with the
         # reference's conv1 channel-replication surgery (enc_hrnet.py:753-785)

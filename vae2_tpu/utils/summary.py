@@ -1,5 +1,5 @@
-"""Model summary: parameter counts per subnetwork
-(the startup-sanity role of reference lib/utils/modelsummary.py:19-135)."""
+"""Model summary: parameter counts per subnetwork plus an optional
+per-layer FLOPs/params table (reference lib/utils/modelsummary.py:19-135)."""
 
 from __future__ import annotations
 
@@ -9,6 +9,19 @@ import numpy as np
 
 def count_params(tree) -> int:
     return int(sum(np.prod(l.shape) for l in jax.tree.leaves(tree)))
+
+
+def model_summary_table(module, *args, depth: int = 3, **kwargs) -> str:
+    """Per-layer table of input/output shapes, params, and FLOPs for one
+    flax module — the reference's forward-hook layer table
+    (modelsummary.py:19-135), built from flax's own tracer instead of
+    torch hooks. ``args`` are example inputs to ``module.__call__``."""
+    import flax.linen as nn
+
+    table_fn = nn.tabulate(
+        module, jax.random.PRNGKey(0), depth=depth, compute_flops=True,
+        console_kwargs={"width": 120, "force_terminal": False})
+    return table_fn(*args, **kwargs)
 
 
 def log_model_summary(logger, state, detail: bool = False) -> None:
