@@ -142,3 +142,36 @@ def test_metric_helpers():
     labels2[0, 0, 0] = -1
     conf2 = get_confusion_matrix(labels2, logits, 3, ignore=-1)
     assert conf2.sum() == labels.size - 1
+
+
+def test_whole_image_logits_buckets_shapes():
+    """Mixed-size images must map to a handful of static buckets (<=
+    #distinct 32-multiple shapes), and logits crop back to the input size
+    (reference base_dataset.py:149-154 runs any shape; TPU pads+crops)."""
+    from vae2_tpu.core.seg_loop import whole_image_logits
+
+    seen = []
+
+    def fake_infer(x):
+        seen.append(tuple(x.shape))
+        return jnp.zeros(x.shape[:3] + (4,))
+
+    for hw in [(33, 65), (40, 70), (62, 60), (64, 96)]:
+        img = np.random.RandomState(0).rand(*hw, 3).astype(np.float32)
+        out = whole_image_logits(fake_infer, img)
+        assert out.shape == hw + (4,)
+    # (33,65)/(40,70)/(64,96) -> (64,96); (62,60) -> (64,64): 2 programs
+    assert len(set(seen)) == 2
+
+
+def test_whole_image_logits_identity_when_bucket_aligned(seg_setup):
+    """A bucket-aligned image must produce bit-identical logits to direct
+    inference (no padding inserted)."""
+    from vae2_tpu.core.seg_loop import make_infer_fn, whole_image_logits
+
+    _, model, variables = seg_setup
+    infer = make_infer_fn(model, variables)
+    img = np.random.RandomState(1).rand(32, 64, 3).astype(np.float32)
+    direct = np.asarray(infer(jnp.asarray(img[None])))[0]
+    bucketed = whole_image_logits(infer, img)
+    np.testing.assert_array_equal(direct, bucketed)

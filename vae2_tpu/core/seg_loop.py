@@ -91,6 +91,24 @@ def _bucket_hw(h: int, w: int, mult: int = 32) -> Tuple[int, int]:
     return ((h + mult - 1) // mult * mult, (w + mult - 1) // mult * mult)
 
 
+def whole_image_logits(infer: Callable, image: np.ndarray) -> np.ndarray:
+    """Whole-image logits with static-bucket padding.
+
+    XLA compiles one program per input shape; a variable-size test set (LIP,
+    PASCAL-Context) would trigger a compile per image. Instead the image is
+    zero-padded (zero = mean pixel after normalization) up to the next
+    32-multiple bucket and the logits cropped back, so a mixed-size set
+    compiles only a handful of programs. Only conv receptive-field leakage
+    at the padded bottom/right border differs from unpadded inference
+    (reference base_dataset.py:149-154 runs any shape directly on GPU)."""
+    h, w = image.shape[:2]
+    bh, bw = _bucket_hw(h, w)
+    if (bh, bw) != (h, w):
+        image = np.pad(image, ((0, bh - h), (0, bw - w), (0, 0)))
+    logits = np.asarray(infer(jnp.asarray(image[None])))[0]
+    return logits[:h, :w]
+
+
 def make_infer_fn(model, variables) -> Callable:
     """Jitted whole-image logits at input resolution (logits upsampled x4)."""
 
@@ -199,7 +217,7 @@ def seg_testval(config, dataset, model, variables, sv_dir: str = "",
                 scales=config.TEST.SCALE_LIST, flip=config.TEST.FLIP_TEST,
                 flip_pairs=getattr(dataset, "flip_pairs", None))
         else:
-            logits = np.asarray(infer(jnp.asarray(image[None])))[0]
+            logits = whole_image_logits(infer, image)
         if logits.shape[:2] != label.shape:
             import cv2
             logits = cv2.resize(logits, (label.shape[1], label.shape[0]),
@@ -236,7 +254,7 @@ def seg_test(config, dataset, model, variables, sv_dir: str):
                 infer, image, crop, num_classes,
                 scales=config.TEST.SCALE_LIST, flip=config.TEST.FLIP_TEST)
         else:
-            logits = np.asarray(infer(jnp.asarray(image[None])))[0]
+            logits = whole_image_logits(infer, image)
         if logits.shape[:2] != tuple(size[:2]):
             import cv2
             logits = cv2.resize(logits, (int(size[1]), int(size[0])),
