@@ -95,3 +95,74 @@ def test_backward_matches_autodiff_of_reference():
                                rtol=2e-4)
     np.testing.assert_allclose(np.asarray(g_fused[2]), np.asarray(edz),
                                rtol=2e-4)
+
+
+def test_batchnormact_pallas_backend_matches_xla():
+    """BatchNormAct(backend='pallas') must match the xla path for the
+    ABN-invertible activations, in both train and eval mode, including the
+    running-stat update (the TPU.FUSED_ABN wiring)."""
+    from vae2_tpu.ops.norm import BatchNormAct
+
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(4, 8, 8, 16) * 2 + 1, jnp.float32)
+
+    for act in (None, "leaky_relu"):
+        xla_bn = BatchNormAct(act=act, backend="xla")
+        pal_bn = BatchNormAct(act=act, backend="pallas")
+        variables = xla_bn.init(jax.random.PRNGKey(0), x, True)
+
+        y_x, m_x = xla_bn.apply(variables, x, True, mutable=["batch_stats"])
+        y_p, m_p = pal_bn.apply(variables, x, True, mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_x),
+                                   atol=2e-5, err_msg=f"train act={act}")
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-6),
+            m_p["batch_stats"], m_x["batch_stats"])
+
+        e_x = xla_bn.apply(m_x | {"params": variables["params"]}, x, False)
+        e_p = pal_bn.apply(m_p | {"params": variables["params"]}, x, False)
+        np.testing.assert_allclose(np.asarray(e_p), np.asarray(e_x),
+                                   atol=2e-5, err_msg=f"eval act={act}")
+
+
+def test_batchnormact_pallas_gradients_match_xla():
+    from vae2_tpu.ops.norm import BatchNormAct
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 4, 4, 8), jnp.float32)
+    xla_bn = BatchNormAct(act="leaky_relu", backend="xla")
+    pal_bn = BatchNormAct(act="leaky_relu", backend="pallas")
+    variables = xla_bn.init(jax.random.PRNGKey(0), x, True)
+    params = variables["params"]
+    stats = {"batch_stats": variables.get("batch_stats", {})}
+
+    def loss(bn, p, xx):
+        y, _ = bn.apply({"params": p, **stats}, xx, True,
+                        mutable=["batch_stats"])
+        return jnp.sum(y * y)
+
+    gx_p, gp_p = jax.grad(lambda p, xx: loss(pal_bn, p, xx),
+                          argnums=(0, 1))(params, x)
+    gx_x, gp_x = jax.grad(lambda p, xx: loss(xla_bn, p, xx),
+                          argnums=(0, 1))(params, x)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-4, rtol=1e-3),
+        (gx_p, gp_p), (gx_x, gp_x))
+
+
+def test_batchnormact_pallas_relu_substitutes_leaky():
+    """backend='pallas' + act='relu' uses the InPlace-ABN leaky_relu(0.01)
+    substitution (inplace_abn/bn.py:23) — pinned so the semantic deviation
+    is explicit."""
+    from vae2_tpu.ops.norm import BatchNormAct
+
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(2, 4, 4, 8), jnp.float32)
+    relu_p = BatchNormAct(act="relu", backend="pallas")
+    leaky_x = BatchNormAct(act="leaky_relu", backend="xla")
+    variables = leaky_x.init(jax.random.PRNGKey(0), x, True)
+    y_r, _ = relu_p.apply(variables, x, True, mutable=["batch_stats"])
+    y_l, _ = leaky_x.apply(variables, x, True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(y_r), np.asarray(y_l), atol=2e-5)

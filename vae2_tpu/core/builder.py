@@ -12,6 +12,9 @@ from .system import Hyper, VAE2System, make_optimizer
 
 
 def build_system(config) -> VAE2System:
+    from ..ops.norm import set_default_bn_backend
+
+    set_default_bn_backend(config.TPU.FUSED_ABN)
     extra = config.MODEL.EXTRA
     name = config.MODEL.NAME
     deterministic = extra.BASELINE_MODE == "DETERMINISTIC"

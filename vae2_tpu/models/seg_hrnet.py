@@ -41,6 +41,9 @@ class SegHRNet(nn.Module):
 
 
 def get_seg_model(cfg) -> SegHRNet:
+    from ..ops.norm import set_default_bn_backend
+
+    set_default_bn_backend(cfg.TPU.FUSED_ABN)
     extra = cfg.MODEL.EXTRA
     dtype = jnp.bfloat16 if cfg.TPU.DTYPE == "bfloat16" else jnp.float32
     return SegHRNet(

@@ -33,6 +33,28 @@ from flax import linen as nn
 
 Array = jax.Array
 
+# Default BN+act backend, set once at startup from config TPU.FUSED_ABN by
+# the model builders ('xla': plain jnp epilogue XLA fuses into the producing
+# conv; 'pallas': the InPlace-ABN Pallas kernels with the activation-
+# inverting memory-saving backward). Read at trace time — flip it only
+# before building/jitting models.
+_DEFAULT_BACKEND = "xla"
+
+
+def set_default_bn_backend(backend: str) -> None:
+    global _DEFAULT_BACKEND
+    if backend not in ("xla", "pallas"):
+        raise ValueError(f"unknown BN backend: {backend}")
+    _DEFAULT_BACKEND = backend
+
+
+# InPlace-ABN can only invert leaky-ReLU-style activations in the backward
+# (y -> z needs y/slope for y<0), so 'relu' maps to leaky_relu(0.01) under
+# the pallas backend — the exact substitution the reference's vendored
+# extension makes when swapping BatchNorm2d+ReLU for ABN (inplace_abn/bn.py
+# :23 defaults activation='leaky_relu', slope=0.01). 'none' is slope=1.
+_PALLAS_SLOPES = {None: 1.0, "none": 1.0, "relu": 0.01, "leaky_relu": 0.01}
+
 
 def _apply_act(x: Array, act: Optional[str]) -> Array:
     if act is None or act == "none":
@@ -64,6 +86,7 @@ class BatchNormAct(nn.Module):
     dtype: Any = jnp.float32
     use_scale_bias: bool = True
     axis_name: Optional[str] = None  # only needed under shard_map/pmap
+    backend: Optional[str] = None  # None: module default (set from config)
 
     @nn.compact
     def __call__(self, x: Array, train: bool = True) -> Array:
@@ -84,6 +107,14 @@ class BatchNormAct(nn.Module):
         ra_var = self.variable(
             "batch_stats", "var", lambda: jnp.ones((features,), jnp.float32)
         )
+
+        backend = self.backend or _DEFAULT_BACKEND
+        # pallas path covers the ABN-invertible activations; explicit
+        # axis_name (shard_map/pmap) stays on the xla path, whose stats
+        # reductions carry the pmean.
+        use_pallas = (backend == "pallas" and self.use_scale_bias
+                      and self.act in _PALLAS_SLOPES
+                      and self.axis_name is None)
 
         reduce_axes = tuple(range(x.ndim - 1))
         if train:
@@ -107,6 +138,20 @@ class BatchNormAct(nn.Module):
         else:
             mean = ra_mean.value
             var = ra_var.value
+
+        if use_pallas:
+            from .pallas.abn import fused_abn, fused_abn_infer
+
+            slope = _PALLAS_SLOPES[self.act]
+            xc = x.astype(self.dtype)
+            if train:
+                # fused_abn normalizes with batch stats it computes itself
+                # (identical jnp reductions — XLA CSEs them with the
+                # running-stat update above) and saves only y for the
+                # activation-inverting backward.
+                return fused_abn(xc, scale, bias, self.epsilon, slope)
+            return fused_abn_infer(xc, mean, var, scale, bias,
+                                   self.epsilon, slope)
 
         # Fold (mean, var, scale, bias) into per-channel (mul, add) in f32,
         # then do the big elementwise normalize in the compute dtype — an f32
