@@ -278,9 +278,11 @@ class PASCALContext(SegDataset):
     """PASCAL-Context 59/60-class segmentation (reference pascal_ctx.py).
 
     The reference depends on the external ``detail`` API to rasterize masks
-    and caches them to a .pth (pascal_ctx.py:86-96). Here labels are expected
-    as pre-rendered PNG maps listed in the list file (generate once with the
-    detail toolkit); everything else follows the base pipeline.
+    and caches them to a .pth (pascal_ctx.py:86-96). Here labels come as
+    59-class-indexed PNGs listed in the list file, produced once by
+    ``tools/gen_pascal_ctx_masks.py`` (vae2_tpu/data/pascal_detail.py — the
+    in-repo Detail-lite rasterizer); everything else follows the base
+    pipeline.
     """
 
     def __init__(self, *args, mode: int = 59, **kwargs):
