@@ -76,3 +76,22 @@ def test_ms_ssim_range_and_identity():
     y = np.clip(x + rng.randn(*x.shape) * 30, 0, 255).astype(np.float32)
     v = float(ms_ssim(x, y))
     assert 0.0 < v < 1.0
+
+
+def test_ms_ssim_strict_mode():
+    """strict=True reproduces pytorch_msssim's refusal on small images and
+    is identical to the default on large-enough ones."""
+    import pytest as _pytest
+
+    import jax.numpy as jnp
+
+    rs = np.random.RandomState(5)
+    small = jnp.asarray(rs.rand(1, 32, 64, 3) * 255, jnp.float32)
+    with _pytest.raises(ValueError, match="strict"):
+        ms_ssim(small, small, strict=True)
+
+    big_a = jnp.asarray(rs.rand(1, 64, 64, 3) * 255, jnp.float32)
+    big_b = jnp.asarray(rs.rand(1, 64, 64, 3) * 255, jnp.float32)
+    lax_v = np.asarray(ms_ssim(big_a, big_b))
+    strict_v = np.asarray(ms_ssim(big_a, big_b, strict=True))
+    np.testing.assert_allclose(strict_v, lax_v, atol=0)

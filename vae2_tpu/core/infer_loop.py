@@ -135,17 +135,25 @@ def make_momentum_sampler(system: VAE2System, chunk: int) -> Callable:
     return jax.jit(fn)
 
 
-def make_metric_fn() -> Callable:
+def make_metric_fn(strict_msssim: Optional[bool] = None) -> Callable:
     """Jitted: (pred (S,H,W,3F) normalized, gt (1,H,W,3F) uint8) ->
-    dict of (S, F) metric arrays [ssim, msssim, l1, psnr]."""
+    dict of (S, F) metric arrays [ssim, msssim, l1, psnr].
+
+    ``strict_msssim``: None (default) auto-selects pytorch_msssim parity
+    mode whenever the image is large enough for all 3 MS-SSIM levels
+    (>= 44px min side — i.e. every non-debug recipe), so full-size eval
+    numbers are guaranteed level-exact; small debug images fall back to
+    level-drop (see ops/ssim.py)."""
 
     def per_frame(pred_f, gt_f):
         # pred_f, gt_f: (H, W, 3) in [0, 255]
         p = pred_f[None]
         g = gt_f[None]
+        strict = (min(p.shape[1], p.shape[2]) >= 44
+                  if strict_msssim is None else strict_msssim)
         return (
             ssim(p, g, data_range=255.0),
-            ms_ssim(p, g, data_range=255.0),
+            ms_ssim(p, g, data_range=255.0, strict=strict),
             jnp.mean(jnp.abs(p - g)),
             psnr_fn(p, g),
         )

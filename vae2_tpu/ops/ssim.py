@@ -79,11 +79,17 @@ def ssim(x: Array, y: Array, data_range: float = 255.0,
 
 def ms_ssim(x: Array, y: Array, data_range: float = 255.0,
             weights: Sequence[float] = (1.0 / 3, 1.0 / 3, 1.0 / 3),
-            size_average: bool = True) -> Array:
+            size_average: bool = True, strict: bool = False) -> Array:
     """Multi-scale SSIM with configurable level weights.
 
     The reference uses 3 uniform weights (function.py:25) instead of the
     standard 5-level set, so images only need to be >= 2^2 * 11 pixels.
+
+    ``strict``: pytorch_msssim parity mode — refuse images too small for
+    every level (its assert at pytorch_msssim/__init__.py) instead of the
+    default level-drop + weight renormalization. On images large enough
+    for all levels the two modes are identical; the debug 32x64 recipes
+    need the default.
     """
     x = x.astype(jnp.float32)
     y = y.astype(jnp.float32)
@@ -96,6 +102,11 @@ def ms_ssim(x: Array, y: Array, data_range: float = 255.0,
     while max_levels < len(weights) and (m // 2) >= 11:
         m //= 2
         max_levels += 1
+    if strict and max_levels < len(weights):
+        raise ValueError(
+            f"ms_ssim strict mode: image {x.shape[1]}x{x.shape[2]} too "
+            f"small for {len(weights)} levels (supports {max_levels}); "
+            "pytorch_msssim would assert here")
     weights = list(weights[:max_levels])
     weights = [w / sum(weights) for w in weights]
     weights_arr = jnp.asarray(weights, jnp.float32)
