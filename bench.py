@@ -72,17 +72,25 @@ def main():
     frames_per_sec = CHUNK * 9 * ITERS / dt
 
     vs_baseline = None
+    achieved_tflops = None
+    mfu = None
     if flops:
         ref_effective_flops = 0.35 * 15.7e12  # V100 fp32 @35% util
         ref_sec_per_forward = flops / ref_effective_flops
         ref_fps = CHUNK * 9 / ref_sec_per_forward
         vs_baseline = frames_per_sec / ref_fps
+        sec_per_forward = dt / ITERS
+        achieved_tflops = flops / sec_per_forward / 1e12
+        mfu = achieved_tflops * 1e12 / 197.0e12  # v5e peak bf16
 
     print(json.dumps({
         "metric": "vae2_inference_predicted_frames_per_sec_per_chip",
         "value": round(frames_per_sec, 2),
         "unit": "frames/sec",
         "vs_baseline": round(vs_baseline, 3) if vs_baseline else 1.0,
+        "achieved_tflops_per_sec": round(achieved_tflops, 2)
+        if achieved_tflops else None,
+        "mfu_vs_v5e_bf16_peak": round(mfu, 4) if mfu else None,
     }))
 
 

@@ -51,14 +51,31 @@ def worker(process_id: int):
     example = {k: normalize_clips(jnp.asarray(v[:1]))
                for k, v in local.items()}
     state = system.init(jax.random.PRNGKey(0), example)
+
+    def barrier(tag):
+        # Coordination-service barrier (no gloo): the gloo pair handshake
+        # has a hard 30s KV timeout, and single-core XLA-compile skew
+        # between the two workers easily exceeds it. Processes must be
+        # aligned before anything that *executes* a cross-process
+        # collective; compiles therefore happen before the barrier (AOT).
+        from jax._src import distributed as _dist
+
+        client = _dist.global_state.client
+        if client is not None:
+            client.wait_at_barrier(tag, timeout_in_ms=1200000)
+
+    barrier("rehearsal_init_done")
     state = shard_state(state, mesh)
     batch = shard_batch_fn(mesh)(local)
     assert batch["xt"].shape[0] == 8  # global batch assembled
 
     step = system.make_train_step(donate=True,
                                   preprocess=normalize_clips)
-    state, metrics, _ = step(state, batch, jax.random.PRNGKey(1),
-                             jnp.float32(1.0))
+    compiled = step.lower(state, batch, jax.random.PRNGKey(1),
+                          jnp.float32(1.0)).compile()
+    barrier("rehearsal_compiled")
+    state, metrics, _ = compiled(state, batch, jax.random.PRNGKey(1),
+                                 jnp.float32(1.0))
     loss = float(jax.device_get(metrics["loss_encdec"]))
     assert np.isfinite(loss)
     print(f"[process {process_id}] multihost step ok: loss_encdec={loss:.4f}",
@@ -80,6 +97,14 @@ def main():
         "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
         "COORDINATOR_ADDRESS": f"127.0.0.1:{PORT}",
         "NUM_PROCESSES": "2",
+        # both workers live on this host: pin gloo's pair transport (the CPU
+        # collectives backend) to loopback so it never advertises an
+        # external interface
+        "GLOO_SOCKET_IFNAME": "lo",
+        # CPU-only cache dir: entries from other hosts/platforms in the main
+        # cache trigger machine-feature-mismatched AOT loads (SIGILL risk)
+        "JAX_COMPILATION_CACHE_DIR": os.path.expanduser(
+            "~/.cache/vae2_tpu_xla_cpu"),
     }
     env_base.pop("PALLAS_AXON_POOL_IPS", None)  # keep the axon plugin out
     procs = []

@@ -23,32 +23,56 @@ import jax
 logger = logging.getLogger("vae2_tpu")
 
 
-def initialize_distributed() -> None:
+_ENV_VARS = ("COORDINATOR_ADDRESS", "NUM_PROCESSES", "PROCESS_ID")
+
+
+def initialize_distributed(strict: bool = True) -> None:
     """Initialize multi-host JAX if the environment asks for it.
 
-    No-ops for single-process runs. Safe to call unconditionally from the
-    CLIs.
+    No-ops for single-process runs (none of COORDINATOR_ADDRESS /
+    NUM_PROCESSES / PROCESS_ID set, not on a TPU pod). Safe to call
+    unconditionally from the CLIs.
+
+    ``strict`` (default): a half-set environment or a failed initialize
+    raises instead of silently continuing single-process — a pod job that
+    degrades to one process would train on 1/N of the data with no error.
+    Set strict=False (or VAE2_TPU_ALLOW_SINGLE_PROCESS=1) to downgrade
+    both to warnings.
     """
     # NOTE: must run before anything initializes the XLA backend — do not
     # query jax.process_count()/jax.devices() before initialize().
-    coord = os.environ.get("COORDINATOR_ADDRESS")
-    nproc = os.environ.get("NUM_PROCESSES")
-    pid = os.environ.get("PROCESS_ID")
+    strict = strict and not os.environ.get("VAE2_TPU_ALLOW_SINGLE_PROCESS")
+    env = {k: os.environ.get(k) for k in _ENV_VARS}
+    n_set = sum(v is not None for v in env.values())
+    if 0 < n_set < len(_ENV_VARS):
+        missing = sorted(k for k, v in env.items() if v is None)
+        msg = (f"distributed env half-set: missing {missing} "
+               f"(have {sorted(k for k, v in env.items() if v)})")
+        if strict:
+            raise RuntimeError(msg)
+        logger.warning("%s; continuing single-process", msg)
+        return
+    on_pod = os.environ.get("TPU_WORKER_HOSTNAMES", "") not in ("", "localhost")
     try:
-        if coord and nproc and pid:
+        if n_set == len(_ENV_VARS):
             jax.distributed.initialize(
-                coordinator_address=coord,
-                num_processes=int(nproc),
-                process_id=int(pid),
+                coordinator_address=env["COORDINATOR_ADDRESS"],
+                num_processes=int(env["NUM_PROCESSES"]),
+                process_id=int(env["PROCESS_ID"]),
             )
             logger.info("jax.distributed initialized: process %s/%s @ %s",
-                        pid, nproc, coord)
-        elif os.environ.get("TPU_WORKER_HOSTNAMES", "") not in ("", "localhost"):
-            # TPU pod: autodetect from metadata
+                        env["PROCESS_ID"], env["NUM_PROCESSES"],
+                        env["COORDINATOR_ADDRESS"])
+        elif on_pod:
+            # TPU pod: autodetect coordinator from the TPU metadata
             jax.distributed.initialize()
             logger.info("jax.distributed initialized from TPU metadata: "
                         "process %d/%d", jax.process_index(),
                         jax.process_count())
     except Exception as e:  # pragma: no cover - depends on cluster env
+        if strict:
+            raise RuntimeError(
+                "jax.distributed.initialize failed for an explicitly "
+                f"distributed environment: {e}") from e
         logger.warning("jax.distributed.initialize failed (%s); continuing "
                        "single-process", e)
