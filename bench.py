@@ -12,17 +12,20 @@ the reference publishes no numbers (BASELINE.md): the same forward's FLOPs
 (from XLA cost analysis) executed at 35% FP32 utilization of a V100
 (15.7 TFLOP/s peak -> 5.5 TFLOP/s effective), the hardware class implied by
 the reference's 4-GPU recipes. The north-star target is vs_baseline >= 5.
+
+Timing uses vae2_tpu.utils.benchtime (dispatch N, one trailing host fetch):
+under the axon remote runtime ``jax.block_until_ready`` does NOT wait for
+device execution, so naive timing reads dispatch latency, not compute.
 """
 
 import json
-import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 CHUNK = 256  # prior samples folded per forward (single-chip HBM ceiling: 512 OOMs)
-ITERS = 4
+ITERS = 16
 H, W = 128, 256
 
 
@@ -58,18 +61,17 @@ def main():
     except Exception:
         pass
 
-    out = sampler(state, xt, x2t, rng)
-    jax.block_until_ready(out)
+    from vae2_tpu.utils.benchtime import time_loop
 
-    t0 = time.perf_counter()
-    for i in range(ITERS):
-        rng, k = jax.random.split(rng)
-        out = sampler(state, xt, x2t, k)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    keys = jax.random.split(rng, ITERS + 1)
+
+    def run_iter(i):
+        return sampler(state, xt, x2t, keys[i + 1])
+
+    sec_per_forward, latency = time_loop(run_iter, ITERS)
 
     # 9 output frames per rollout (x1/x2/x3 clips of 3 frames)
-    frames_per_sec = CHUNK * 9 * ITERS / dt
+    frames_per_sec = CHUNK * 9 / sec_per_forward
 
     vs_baseline = None
     achieved_tflops = None
@@ -79,7 +81,6 @@ def main():
         ref_sec_per_forward = flops / ref_effective_flops
         ref_fps = CHUNK * 9 / ref_sec_per_forward
         vs_baseline = frames_per_sec / ref_fps
-        sec_per_forward = dt / ITERS
         achieved_tflops = flops / sec_per_forward / 1e12
         mfu = achieved_tflops * 1e12 / 197.0e12  # v5e peak bf16
 
@@ -91,6 +92,8 @@ def main():
         "achieved_tflops_per_sec": round(achieved_tflops, 2)
         if achieved_tflops else None,
         "mfu_vs_v5e_bf16_peak": round(mfu, 4) if mfu else None,
+        "sec_per_forward": round(sec_per_forward, 5),
+        "fetch_latency_s": round(latency, 4),
     }))
 
 

@@ -9,13 +9,12 @@ sustained window on synthetic data, and reports:
 
 Prints ONE JSON line. Knobs via env/CLI:
     python bench_train.py [--optimizer sgd|adam] [--split] [--batch 8]
-                          [--iters 20] [--remat per-trunk|none]
+                          [--iters 20] [--remat per-trunk|per-stage|none]
                           [--fused-abn xla|pallas]
 """
 
 import argparse
 import json
-import time
 
 import jax
 import jax.numpy as jnp
@@ -33,7 +32,7 @@ def parse_args():
     ap.add_argument("--iters", default=20, type=int)
     ap.add_argument("--warmup", default=3, type=int)
     ap.add_argument("--remat", default="per-trunk",
-                    choices=("per-trunk", "none"))
+                    choices=("per-trunk", "per-stage", "none"))
     ap.add_argument("--fused-abn", default="xla", choices=("xla", "pallas"))
     ap.add_argument("--height", default=128, type=int)
     ap.add_argument("--width", default=256, type=int)
@@ -51,7 +50,8 @@ def main():
     if args.optimizer == "adam":
         cfg.TRAIN.LR = 1e-4
     cfg.TPU.SPLIT_STEP = args.split
-    cfg.TPU.REMAT = args.remat == "per-trunk"
+    cfg.TPU.REMAT = {"per-trunk": "trunk", "per-stage": "stage",
+                     "none": "none"}[args.remat]
     cfg.TPU.FUSED_ABN = args.fused_abn
     system = build_system(cfg)
 
@@ -66,52 +66,70 @@ def main():
     step = system.make_train_step(donate=True, preprocess=normalize_clips,
                                   split=args.split)
 
-    # FLOPs from the *lowered* (uncompiled) combined program — cheap, and
-    # identical math to the split variant
-    flops = None
-    try:
-        counter = (step if not args.split else system.make_train_step(
-            donate=False, preprocess=normalize_clips, split=False))
-        ca = counter.lower(state, batch, jax.random.PRNGKey(1),
-                           jnp.float32(1.0)).cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        flops = float(ca.get("flops", 0.0)) or None
-    except Exception:
-        pass
+    from vae2_tpu.utils.benchtime import fetch_sync, time_loop
 
     rng = jax.random.PRNGKey(2)
     mult = jnp.float32(1.0)
+    preds = None
     for _ in range(args.warmup):
         rng, k = jax.random.split(rng)
-        state, metrics, _ = step(state, batch, k, mult)
-    jax.block_until_ready(metrics)
+        state, metrics, preds = step(state, batch, k, mult)
+    fetch_sync(metrics)
 
-    times = []
-    for _ in range(args.iters):
-        rng, k = jax.random.split(rng)
-        t0 = time.perf_counter()
-        state, metrics, _ = step(state, batch, k, mult)
-        jax.block_until_ready(metrics)
-        times.append(time.perf_counter() - t0)
-    med = float(np.median(times))
+    # FLOPs from compiled.cost_analysis() — the axon backend returns None
+    # for *lowered* (uncompiled) programs; after warmup these AOT compiles
+    # are persistent-cache hits
+    def _flops_of(compiled):
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)) if ca else 0.0
 
-    mfu = (flops / med / V5E_PEAK_BF16) if flops else None
+    flops = None
+    try:
+        k0 = jax.random.PRNGKey(1)
+        if args.split:
+            flops = _flops_of(step.g_jit.lower(state, batch, k0, mult)
+                              .compile())
+            if step.run_d_step:
+                flops += _flops_of(
+                    step.d_jit.lower(state, batch["x2t"], preds[1]).compile())
+        else:
+            flops = _flops_of(step.lower(state, batch, k0, mult).compile())
+        flops = flops or None
+    except Exception:
+        pass
+
+    # time N step dispatches with one trailing host fetch — under the axon
+    # remote runtime jax.block_until_ready does NOT wait for execution, so
+    # per-step block timing reads dispatch latency, not compute
+    # (vae2_tpu/utils/benchtime.py). The state threads through iterations,
+    # serializing them by data dependency.
+    keys = jax.random.split(rng, args.iters + 1)
+    box = {"state": state}
+
+    def run_iter(i):
+        box["state"], metrics, _ = step(box["state"], batch, keys[i + 1], mult)
+        return metrics
+
+    sec, latency = time_loop(run_iter, args.iters)
+
+    mfu = (flops / sec / V5E_PEAK_BF16) if flops else None
     print(json.dumps({
         "metric": "vae2_train_step_seconds",
-        "value": round(med, 4),
+        "value": round(sec, 4),
         "unit": "s/step",
         "config": {
             "optimizer": args.optimizer, "split": args.split,
             "batch": b, "remat": args.remat, "fused_abn": args.fused_abn,
             "hw": [args.height, args.width],
         },
-        "steps_per_sec": round(1.0 / med, 3),
-        "clips_per_sec_per_chip": round(b / med, 2),
+        "steps_per_sec": round(1.0 / sec, 3),
+        "clips_per_sec_per_chip": round(b / sec, 2),
         "train_flops_per_step": flops,
         "mfu_vs_v5e_bf16_peak": round(mfu, 4) if mfu else None,
-        "p10_s": round(float(np.percentile(times, 10)), 4),
-        "p90_s": round(float(np.percentile(times, 90)), 4),
+        "iters": args.iters,
+        "fetch_latency_s": round(latency, 4),
     }))
 
 

@@ -170,3 +170,40 @@ def test_bfloat16_compute_f32_params():
     assert all(l.dtype == jnp.float32 for l in leaves)
     out = model.apply(variables, x, False)
     assert out.dtype == jnp.float32  # discriminator casts output to f32
+
+
+@pytest.mark.parametrize("remat", ["none", "trunk", "stage"])
+def test_remat_policies_numerically_transparent(remat):
+    """jax.checkpoint at any granularity must not change params, outputs, or
+    gradients — only the backward's memory/recompute schedule."""
+    cfg = _tiny_config()
+    cfg.TPU.REMAT = remat
+    model = fam.get_encdec_model(cfg)
+    cfg_ref = _tiny_config()
+    cfg_ref.TPU.REMAT = "none"
+    ref = fam.get_encdec_model(cfg_ref)
+
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 16, 32, 9), jnp.float32)
+    z = [jnp.asarray(np.random.RandomState(5 + b).randn(
+        2, 16 // 2**b, 32 // 2**b, 4), jnp.float32) for b in range(4)]
+    rngs = {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)}
+    variables = ref.init(rngs, x, z, True)
+    # identical param tree regardless of remat policy
+    v2 = model.init(rngs, x, z, True)
+    assert jax.tree.structure(v2["params"]) == jax.tree.structure(
+        variables["params"])
+
+    def loss(m):
+        def f(params):
+            out = m.apply({**variables, "params": params}, x, z, False,
+                          rngs={"sample": jax.random.PRNGKey(2)})
+            return sum(jnp.sum(jnp.square(o)) for o in out)
+        return f
+
+    l_ref, g_ref = jax.value_and_grad(loss(ref))(variables["params"])
+    l, g = jax.value_and_grad(loss(model))(variables["params"])
+    np.testing.assert_allclose(np.asarray(l), np.asarray(l_ref),
+                               rtol=1e-5, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)

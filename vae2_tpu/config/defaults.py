@@ -156,7 +156,10 @@ def get_default_config() -> ConfigNode:
     cfg.TPU.MESH.SPATIAL = 1  # spatial (H) sharding factor for large images
     cfg.TPU.DTYPE = "bfloat16"  # compute dtype; params & BN stats stay float32
     cfg.TPU.DONATE = True  # donate state buffers into the jitted train step
-    cfg.TPU.REMAT = True  # jax.checkpoint per trunk (fit 128x256 bs8 in HBM)
+    # jax.checkpoint granularity: 'trunk' (whole-trunk recompute; fits
+    # 128x256 bs8 in HBM), 'stage' (per-HRModule), 'none'. Legacy booleans
+    # map True->'trunk', False->'none'.
+    cfg.TPU.REMAT = "trunk"
     cfg.TPU.SPLIT_STEP = False  # compile G/D updates separately (lower peak HBM)
     cfg.TPU.PREFETCH = 2  # host->device pipeline depth
     cfg.TPU.FUSED_ABN = "xla"  # 'xla' | 'pallas' fused BN+activation backend

@@ -524,6 +524,9 @@ class VAE2System:
         d_jit = jax.jit(d_step, donate_argnums=(0,) if donate else ())
 
         def step(state, batch, rng, multiplier):
+            # (attributes g_jit/d_jit/run_d_step are attached below for
+            # tooling — e.g. bench_train.py FLOPs counting via
+            # compiled.cost_analysis)
             state, g_metrics, preds = g_jit(state, batch, rng, multiplier)
             if run_d_step:
                 x2_real = batch["x3t"] if h.is_baseline else batch["x2t"]
@@ -534,6 +537,9 @@ class VAE2System:
                              "loss_D_frame": zero}
             return state, {**g_metrics, **d_metrics}, preds
 
+        step.g_jit = g_jit
+        step.d_jit = d_jit
+        step.run_d_step = run_d_step
         return step
 
     def make_eval_step(self, sampling_mode: str = "prior_sampling",

@@ -331,6 +331,10 @@ class HRNetTrunk(nn.Module):
     z_mode: str = "none"
     z_dim: int = 32
     dtype: Any = jnp.bfloat16
+    # Per-stage rematerialization: wrap each HRModule in jax.checkpoint so the
+    # backward recomputes one stage at a time (finer-grained than wrapping the
+    # whole trunk — shorter recompute chains, same activation savings).
+    remat_stages: bool = False
 
     @nn.compact
     def __call__(self, x, z: Optional[Any] = None, train: bool = True,
@@ -342,6 +346,9 @@ class HRNetTrunk(nn.Module):
         z-injection + stage 4."""
         assert mode in ("full", "prefix", "suffix")
         s1, s2, s3, s4 = self.specs
+        # static_argnums: (module, xs, train) -> train is arg 2
+        module_cls = (nn.remat(HRModule, static_argnums=(2,))
+                      if self.remat_stages else HRModule)
 
         if mode in ("full", "prefix"):
             x = x.astype(self.dtype)
@@ -369,7 +376,7 @@ class HRNetTrunk(nn.Module):
                 if idx == 4:
                     break
                 for m in range(spec.num_modules):
-                    xs = HRModule(
+                    xs = module_cls(
                         spec=spec, in_channels=spec.out_channels,
                         dtype=self.dtype, name=f"stage{idx}_module{m}",
                     )(xs, train)
@@ -382,7 +389,7 @@ class HRNetTrunk(nn.Module):
         if self.z_mode != "none":
             xs = self._inject_z(xs, z, s4, train)
         for m in range(s4.num_modules):
-            xs = HRModule(
+            xs = module_cls(
                 spec=s4, in_channels=s4.out_channels, dtype=self.dtype,
                 name=f"stage4_module{m}",
             )(xs, train)

@@ -34,6 +34,17 @@ Array = jax.Array
 _kernel_init = nn.initializers.normal(stddev=0.001)
 
 
+def _remat_trunk(mode: str):
+    """Resolve a remat policy ('none' | 'trunk' | 'stage') to the trunk class
+    (possibly jax.checkpoint-wrapped) plus extra constructor kwargs."""
+    if mode == "trunk":
+        # static_argnums: (module, x, z, train, mode) -> train=3, mode=4
+        return nn.remat(HRNetTrunk, static_argnums=(3, 4)), {}
+    if mode == "stage":
+        return HRNetTrunk, {"remat_stages": True}
+    return HRNetTrunk, {}
+
+
 class _TrunkWithHeads(nn.Module):
     """A video trunk + ``clip_length`` frame-prediction heads.
 
@@ -48,20 +59,20 @@ class _TrunkWithHeads(nn.Module):
     z_mode: str
     z_dim: int
     dtype: Any
-    remat: bool = False
+    remat: str = "none"
 
     @nn.compact
     def __call__(self, x, z=None, train: bool = True,
                  mode: str = "full") -> Array:
-        # jax.checkpoint per trunk: backward recomputes the trunk forward
-        # instead of storing its activations — the 128x256 batch-8 train step
-        # does not fit HBM otherwise (the reference relies on torch autograd's
-        # eager buffers + smaller per-GPU memory headroom).
-        trunk_cls = (nn.remat(HRNetTrunk, static_argnums=(3, 4))
-                     if self.remat else HRNetTrunk)
+        # jax.checkpoint: backward recomputes forward activations instead of
+        # storing them — the 128x256 batch-8 train step does not fit HBM
+        # otherwise (the reference relies on torch autograd's eager buffers +
+        # smaller per-GPU memory headroom). 'trunk' wraps the whole trunk;
+        # 'stage' wraps each HRModule (shorter recompute chains).
+        trunk_cls, trunk_kw = _remat_trunk(self.remat)
         feats = trunk_cls(
             specs=self.specs, stem_stride=1, z_mode=self.z_mode,
-            z_dim=self.z_dim, dtype=self.dtype, name="trunk",
+            z_dim=self.z_dim, dtype=self.dtype, name="trunk", **trunk_kw,
         )(x, z, train, mode)
         if mode == "prefix":
             return feats
@@ -86,7 +97,7 @@ class VAE2EncDec(nn.Module):
     baseline_mode: str = "VAE_NATIVE"
     z_dim: int = 32
     dtype: Any = jnp.bfloat16
-    remat: bool = False
+    remat: str = "none"
 
     def setup(self):
         det = self.baseline_mode == "DETERMINISTIC"
@@ -149,15 +160,14 @@ class VAE2Posterior(nn.Module):
     hd_z: bool = True
     z_dim: int = 32
     dtype: Any = jnp.bfloat16
-    remat: bool = False
+    remat: str = "none"
 
     @nn.compact
     def __call__(self, x: Array, train: bool = True):
-        trunk_cls = (nn.remat(HRNetTrunk, static_argnums=(3, 4))
-                     if self.remat else HRNetTrunk)
+        trunk_cls, trunk_kw = _remat_trunk(self.remat)
         feats = trunk_cls(
             specs=self.specs, stem_stride=1, z_mode="none",
-            z_dim=self.z_dim, dtype=self.dtype, name="trunk",
+            z_dim=self.z_dim, dtype=self.dtype, name="trunk", **trunk_kw,
         )(x, None, train, "full")
         if self.hd_z:
             outs: List[Array] = []
@@ -187,15 +197,14 @@ class VAE2Discriminator(nn.Module):
     specs: Tuple[StageSpec, ...]
     final_kernel: int = 1
     dtype: Any = jnp.bfloat16
-    remat: bool = False
+    remat: str = "none"
 
     @nn.compact
     def __call__(self, x: Array, train: bool = True) -> Array:
-        trunk_cls = (nn.remat(HRNetTrunk, static_argnums=(3, 4))
-                     if self.remat else HRNetTrunk)
+        trunk_cls, trunk_kw = _remat_trunk(self.remat)
         feats = trunk_cls(
             specs=self.specs, stem_stride=1, z_mode="none",
-            dtype=self.dtype, name="trunk",
+            dtype=self.dtype, name="trunk", **trunk_kw,
         )(x, None, train, "full")
         y = concat_upsampled(feats)
         return ConvHead(1, self.final_kernel, self.dtype,
@@ -211,8 +220,15 @@ def _common(config):
     return extra, stage_specs_from_extra(extra), dtype
 
 
-def _remat(config) -> bool:
-    return bool(config.TPU.get("REMAT", True))
+def _remat(config) -> str:
+    """Normalize TPU.REMAT to a policy string. Accepts legacy booleans
+    (True -> 'trunk', False -> 'none') and 'none'/'trunk'/'stage'."""
+    v = config.TPU.get("REMAT", True)
+    if isinstance(v, str):
+        if v not in ("none", "trunk", "stage"):
+            raise ValueError(f"TPU.REMAT must be none|trunk|stage, got {v!r}")
+        return v
+    return "trunk" if v else "none"
 
 
 def get_encdec_model(config) -> VAE2EncDec:
