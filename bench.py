@@ -28,6 +28,13 @@ CHUNK = 256  # prior samples folded per forward (single-chip HBM ceiling: 512 OO
 ITERS = 16
 H, W = 128, 256
 
+# Reference-dataflow cost: XLA cost analysis of the r1 program (upsample-
+# concat heads, i.e. the reference's exact dataflow) measured 32.72 TFLOP per
+# chunk-256 forward = 14.2 GFLOP/frame. vs_baseline is pinned to THIS count —
+# the torch reference executes the concat dataflow regardless of how few
+# FLOPs our multiscale-head program needs.
+REF_FLOPS_PER_FRAME = 14.2e9
+
 
 def main():
     from vae2_tpu.config import get_default_config
@@ -44,14 +51,27 @@ def main():
     }
     state = system.init(rng, batch)
 
-    sampler = make_prior_sampler(system, chunk=CHUNK, height=H, width=W)
     xt = jnp.asarray(
         np.random.RandomState(0).randint(0, 255, (1, H, W, 9), np.uint8))
     x2t = jnp.asarray(
         np.random.RandomState(1).randint(0, 255, (1, H, W, 9), np.uint8))
 
-    # compile + warmup
-    compiled = sampler.lower(state, xt, x2t, rng).compile()
+    # compile + warmup; on HBM OOM retry with a smaller sample chunk so the
+    # bench always emits its JSON line
+    global CHUNK
+    compiled = None
+    for chunk in (CHUNK, 192, 128, 96, 64, 32):
+        sampler = make_prior_sampler(system, chunk=chunk, height=H, width=W)
+        try:
+            compiled = sampler.lower(state, xt, x2t, rng).compile()
+            CHUNK = chunk
+            break
+        except Exception as e:  # noqa: BLE001
+            if "RESOURCE_EXHAUSTED" not in str(e) and "memory" not in str(e):
+                raise
+            print(f"# chunk {chunk} OOMs HBM; retrying smaller", flush=True)
+    if compiled is None:
+        raise SystemExit("all chunk sizes OOM")
     flops = None
     try:
         ca = compiled.cost_analysis()
@@ -73,14 +93,12 @@ def main():
     # 9 output frames per rollout (x1/x2/x3 clips of 3 frames)
     frames_per_sec = CHUNK * 9 / sec_per_forward
 
-    vs_baseline = None
+    ref_effective_flops = 0.35 * 15.7e12  # V100 fp32 @35% util
+    ref_fps = ref_effective_flops / REF_FLOPS_PER_FRAME
+    vs_baseline = frames_per_sec / ref_fps
     achieved_tflops = None
     mfu = None
     if flops:
-        ref_effective_flops = 0.35 * 15.7e12  # V100 fp32 @35% util
-        ref_sec_per_forward = flops / ref_effective_flops
-        ref_fps = CHUNK * 9 / ref_sec_per_forward
-        vs_baseline = frames_per_sec / ref_fps
         achieved_tflops = flops / sec_per_forward / 1e12
         mfu = achieved_tflops * 1e12 / 197.0e12  # v5e peak bf16
 
@@ -94,6 +112,7 @@ def main():
         "mfu_vs_v5e_bf16_peak": round(mfu, 4) if mfu else None,
         "sec_per_forward": round(sec_per_forward, 5),
         "fetch_latency_s": round(latency, 4),
+        "chunk": CHUNK,
     }))
 
 

@@ -34,6 +34,8 @@ def parse_args():
     ap.add_argument("--remat", default="per-trunk",
                     choices=("per-trunk", "per-stage", "none"))
     ap.add_argument("--fused-abn", default="xla", choices=("xla", "pallas"))
+    ap.add_argument("--multiscale-head", action="store_true",
+                    help="commute head 1x1 convs before the upsample")
     ap.add_argument("--height", default=128, type=int)
     ap.add_argument("--width", default=256, type=int)
     return ap.parse_args()
@@ -53,6 +55,7 @@ def main():
     cfg.TPU.REMAT = {"per-trunk": "trunk", "per-stage": "stage",
                      "none": "none"}[args.remat]
     cfg.TPU.FUSED_ABN = args.fused_abn
+    cfg.TPU.MULTISCALE_HEAD = bool(args.multiscale_head)
     system = build_system(cfg)
 
     b, h, w = args.batch, args.height, args.width
@@ -122,6 +125,7 @@ def main():
         "config": {
             "optimizer": args.optimizer, "split": args.split,
             "batch": b, "remat": args.remat, "fused_abn": args.fused_abn,
+            "multiscale_head": bool(args.multiscale_head),
             "hw": [args.height, args.width],
         },
         "steps_per_sec": round(1.0 / sec, 3),

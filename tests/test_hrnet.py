@@ -207,3 +207,57 @@ def test_remat_policies_numerically_transparent(remat):
     for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(g_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_multiscale_head_exact_vs_concat_path():
+    """ConvHead(list) commutes the 1x1 conv before the bilinear upsample —
+    must equal ConvHead(concat_upsampled(...)) bit-for-bit in f32 (linear ops
+    commute), with an IDENTICAL parameter tree (torch import compat)."""
+    from vae2_tpu.models.hrnet import ConvHead
+
+    rng = jax.random.PRNGKey(0)
+    ks = jax.random.split(rng, 5)
+    feats = [
+        jax.random.normal(ks[b], (2, 16 // 2**b, 32 // 2**b, c), jnp.float32)
+        for b, c in enumerate((4, 8, 16, 32))
+    ]
+    head = ConvHead(out_features=3, final_kernel=1, dtype=jnp.float32)
+    params = head.init(ks[4], feats, True)
+    params_cat = head.init(ks[4], concat_upsampled(feats), True)
+    assert jax.tree_util.tree_structure(params) == \
+        jax.tree_util.tree_structure(params_cat)
+    for (p1, p2) in zip(jax.tree_util.tree_leaves(params),
+                        jax.tree_util.tree_leaves(params_cat)):
+        assert p1.shape == p2.shape
+
+    out_ms, _ = head.apply(params, feats, True,
+                           mutable=["batch_stats"])
+    out_cat, _ = head.apply(params, concat_upsampled(feats), True,
+                            mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(out_ms), np.asarray(out_cat),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_encdec_multiscale_head_matches_reference_dataflow():
+    """Full VAE2EncDec forward: multiscale_head True vs False with shared
+    params must agree (f32)."""
+    cfg = _tiny_config()
+    specs = stage_specs_from_extra(cfg.MODEL.EXTRA)
+    kw = dict(specs=specs, clip_length=3, num_classes=3, z_dim=4,
+              dtype=jnp.float32)
+    m_fast = fam.VAE2EncDec(multiscale_head=True, **kw)
+    m_ref = fam.VAE2EncDec(multiscale_head=False, **kw)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 32, 9), jnp.float32)
+    z = jax.random.normal(jax.random.PRNGKey(2), (2, 4), jnp.float32)
+    rngs = {"params": jax.random.PRNGKey(3), "sample": jax.random.PRNGKey(4)}
+    v_fast = m_fast.init(rngs, x, z, True)
+    v_ref = m_ref.init(rngs, x, z, True)
+    assert jax.tree_util.tree_structure(v_fast) == \
+        jax.tree_util.tree_structure(v_ref)
+    o_fast = m_fast.apply(v_fast, x, z, False,
+                          rngs={"sample": jax.random.PRNGKey(5)})
+    o_ref = m_ref.apply(v_fast, x, z, False,
+                        rngs={"sample": jax.random.PRNGKey(5)})
+    for a, b in zip(o_fast, o_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)

@@ -38,9 +38,12 @@ def test_two_process_rehearsal():
     """Spawn the full 2-process rehearsal (each worker: 2 virtual CPU
     devices, jax.distributed handshake, per-host batch shards assembled
     into a global array, one adversarial train step)."""
+    # 2 workers x fresh CPU compile on a 1-core host can exceed 20 min when
+    # the core is shared with another compile — size the timeout for the
+    # worst observed cold-cache case, not the warm one (~1 min).
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools",
                                       "multihost_rehearsal.py")],
-        capture_output=True, text=True, cwd=REPO, timeout=1200)
+        capture_output=True, text=True, cwd=REPO, timeout=3000)
     assert out.returncode == 0, (out.stdout[-2000:], out.stderr[-2000:])
     assert "multihost rehearsal PASSED" in out.stdout + out.stderr

@@ -163,6 +163,16 @@ def get_default_config() -> ConfigNode:
     cfg.TPU.SPLIT_STEP = False  # compile G/D updates separately (lower peak HBM)
     cfg.TPU.PREFETCH = 2  # host->device pipeline depth
     cfg.TPU.FUSED_ABN = "xla"  # 'xla' | 'pallas' fused BN+activation backend
+    # True: prediction heads consume the raw multi-resolution branch list
+    # (1x1 conv commuted before the bilinear upsample — exact math, ~8x fewer
+    # head FLOPs). Measured on v5e at inference chunk 256 this LOSES: the
+    # per-head 270-channel full-res accumulation chains round-trip 4.25 GB
+    # buffers through HBM (OOM at chunk>=192; 1248 f/s at 128 vs 2120 f/s
+    # for the reference dataflow at 256). Default False = reference dataflow
+    # (upsample-concat, one conv per head). The transform stays available
+    # for memory-light regimes (e.g. small-batch training — A/B via
+    # bench_train.py --multiscale-head).
+    cfg.TPU.MULTISCALE_HEAD = False
     cfg.TPU.INFER_SAMPLE_BATCH = 32  # prior samples folded per device batch
     cfg.TPU.PROFILE_DIR = ""  # non-empty: jax.profiler trace of a step window
     cfg.TPU.PROFILE_STEPS = 5

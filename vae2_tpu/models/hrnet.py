@@ -426,18 +426,49 @@ def concat_upsampled(xs: Sequence[Array]) -> Array:
 class ConvHead(nn.Module):
     """1x1 conv (C->C) + BN + ReLU + final conv (C->out) — the shared shape of
     the prediction heads and the discriminator head (enc_hrnet.py:323-370,
-    1136-1151)."""
+    1136-1151).
+
+    Accepts either the full-resolution concat (reference dataflow:
+    ``conv1(concat(upsample(x_b)))``) or the raw multi-resolution branch list.
+    For a list it commutes the (linear, channelwise) 1x1 conv *before* the
+    (linear, pixelwise) bilinear upsample — mathematically identical, but the
+    270-channel full-resolution concat is never materialized and the conv's
+    FLOPs drop ~8x (branches 1..3 convolve at 1/4, 1/16, 1/64 the pixels).
+    The parameter tree is unchanged: one (1,1,C,C) ``conv1`` kernel, sliced
+    per branch, so torch checkpoint import is unaffected.
+    """
 
     out_features: int
     final_kernel: int = 1
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x: Array, train: bool = True) -> Array:
-        c = x.shape[-1]
-        y = nn.Conv(c, (1, 1), use_bias=True, dtype=self.dtype,
-                    param_dtype=jnp.float32, kernel_init=_kernel_init,
-                    name="conv1")(x)
+    def __call__(self, x, train: bool = True) -> Array:
+        parts = list(x) if isinstance(x, (list, tuple)) else [x]
+        c = sum(p.shape[-1] for p in parts)
+        conv1 = nn.Conv(c, (1, 1), use_bias=True, dtype=self.dtype,
+                        param_dtype=jnp.float32, kernel_init=_kernel_init,
+                        name="conv1")
+        if len(parts) == 1:
+            y = conv1(parts[0])
+        else:
+            # Create conv1's params with the right fan-in; the 1-pixel probe
+            # result is unused and dead-code-eliminated by XLA.
+            conv1(jnp.concatenate([p[:1, :1, :1, :] for p in parts], axis=-1))
+            kernel = conv1.variables["params"]["kernel"]
+            bias = conv1.variables["params"]["bias"]
+            h, w = parts[0].shape[1], parts[0].shape[2]
+            off, y = 0, None
+            for p in parts:
+                cb = p.shape[-1]
+                k = kernel[:, :, off:off + cb, :].astype(self.dtype)
+                yb = jax.lax.conv_general_dilated(
+                    p.astype(self.dtype), k, (1, 1), "VALID",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                yb = resize_bilinear(yb, h, w)
+                y = yb if y is None else y + yb
+                off += cb
+            y = y + bias.astype(self.dtype)
         y = BatchNormAct(act="relu", dtype=self.dtype, name="bn")(y, train)
         y = nn.Conv(self.out_features,
                     (self.final_kernel, self.final_kernel),

@@ -60,6 +60,7 @@ class _TrunkWithHeads(nn.Module):
     z_dim: int
     dtype: Any
     remat: str = "none"
+    multiscale_head: bool = True
 
     @nn.compact
     def __call__(self, x, z=None, train: bool = True,
@@ -76,7 +77,7 @@ class _TrunkWithHeads(nn.Module):
         )(x, z, train, mode)
         if mode == "prefix":
             return feats
-        y = concat_upsampled(feats)
+        y = feats if self.multiscale_head else concat_upsampled(feats)
         frames = [
             ConvHead(self.num_classes, self.final_kernel, self.dtype,
                      name=f"last_layer_{i + 1}")(y, train)
@@ -98,6 +99,7 @@ class VAE2EncDec(nn.Module):
     z_dim: int = 32
     dtype: Any = jnp.bfloat16
     remat: str = "none"
+    multiscale_head: bool = True
 
     def setup(self):
         det = self.baseline_mode == "DETERMINISTIC"
@@ -107,6 +109,7 @@ class VAE2EncDec(nn.Module):
             specs=self.specs, num_heads=self.clip_length,
             num_classes=self.num_classes, final_kernel=self.final_kernel,
             z_dim=self.z_dim, dtype=self.dtype, remat=self.remat,
+            multiscale_head=self.multiscale_head,
         )
         self.encoder = _TrunkWithHeads(z_mode=enc_z, name="encoder", **head_kw)
         self.dec_future = _TrunkWithHeads(z_mode=dec_z, name="dec_future", **head_kw)
@@ -198,6 +201,7 @@ class VAE2Discriminator(nn.Module):
     final_kernel: int = 1
     dtype: Any = jnp.bfloat16
     remat: str = "none"
+    multiscale_head: bool = True
 
     @nn.compact
     def __call__(self, x: Array, train: bool = True) -> Array:
@@ -206,7 +210,7 @@ class VAE2Discriminator(nn.Module):
             specs=self.specs, stem_stride=1, z_mode="none",
             dtype=self.dtype, name="trunk", **trunk_kw,
         )(x, None, train, "full")
-        y = concat_upsampled(feats)
+        y = feats if self.multiscale_head else concat_upsampled(feats)
         return ConvHead(1, self.final_kernel, self.dtype,
                         name="last_layer")(y, train).astype(jnp.float32)
 
@@ -243,6 +247,7 @@ def get_encdec_model(config) -> VAE2EncDec:
         z_dim=int(extra.get("Z_DIM", 32)),
         dtype=dtype,
         remat=_remat(config),
+        multiscale_head=bool(config.TPU.get("MULTISCALE_HEAD", True)),
     )
 
 
@@ -261,7 +266,8 @@ def get_D_sequence_model(config) -> VAE2Discriminator:
     extra, specs, dtype = _common(config)
     return VAE2Discriminator(
         specs=specs, final_kernel=int(extra.get("FINAL_CONV_KERNEL", 1)),
-        dtype=dtype, remat=_remat(config))
+        dtype=dtype, remat=_remat(config),
+        multiscale_head=bool(config.TPU.get("MULTISCALE_HEAD", True)))
 
 
 def get_D_frame_model(config) -> VAE2Discriminator:
