@@ -89,3 +89,32 @@ def test_fid_end_to_end_tiny(tmp_path, params):
     cross_fid = fid_score.calculate_frechet_distance(m1, s1, m2, s2)
     assert abs(self_fid) < 1e-4
     assert np.isfinite(cross_fid)
+
+
+def test_random_init_features_discriminative(tmp_path):
+    """The weightless fallback must separate distinct distributions: He-scaled
+    random convs keep activation variance alive through all 48 layers, so
+    FID(noise, black) >> FID(noise, noise'). Guards against init scales that
+    decay features to a constant (where every FID reads ~0)."""
+    from PIL import Image
+
+    from vae2_tpu.eval import fid as fid_score
+    from vae2_tpu.models.inception import init_inception_params
+
+    params = init_inception_params(jax.random.PRNGKey(1))
+    rng = np.random.RandomState(0)
+    dirs = {}
+    for name in ("noise_a", "noise_b", "black"):
+        d = tmp_path / name
+        d.mkdir()
+        for i in range(6):
+            arr = (np.zeros((32, 64, 3), np.uint8) if name == "black"
+                   else rng.randint(0, 255, (32, 64, 3), np.uint8))
+            Image.fromarray(arr).save(d / f"{i}.png")
+        dirs[name] = fid_score.calculate_activation_statistics(
+            fid_score.list_images(str(d)), params, batch_size=6)
+    same = fid_score.calculate_frechet_distance(*dirs["noise_a"],
+                                                *dirs["noise_b"])
+    diff = fid_score.calculate_frechet_distance(*dirs["noise_a"],
+                                                *dirs["black"])
+    assert diff > 10 * max(same, 1e-6), (same, diff)

@@ -219,7 +219,13 @@ _BLOCK_CHANNELS: List[Tuple[str, int, int]] = []  # filled lazily
 
 def _conv_param(rng, cin: int, cout: int, kh: int, kw: int) -> Dict[str, Array]:
     k1, _ = jax.random.split(rng)
-    w = jax.random.normal(k1, (kh, kw, cin, cout), jnp.float32) * 0.02
+    # He scaling: with the BN constants at identity, a ReLU conv stack keeps
+    # unit activation variance, so the weightless fallback's features stay
+    # discriminative. (A fixed small std decays activations by ~0.8x/layer —
+    # ~1e-5 after 48 layers — collapsing features to a constant and making
+    # every FID ~= 0.)
+    he = np.sqrt(2.0 / (kh * kw * cin)).astype(np.float32)
+    w = jax.random.normal(k1, (kh, kw, cin, cout), jnp.float32) * he
     return {
         "w": w,
         "bn_scale": jnp.ones((cout,)),
