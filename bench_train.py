@@ -36,6 +36,8 @@ def parse_args():
     ap.add_argument("--fused-abn", default="xla", choices=("xla", "pallas"))
     ap.add_argument("--multiscale-head", action="store_true",
                     help="commute head 1x1 convs before the upsample")
+    ap.add_argument("--adam-moments", default="float32",
+                    choices=("float32", "bfloat16"))
     ap.add_argument("--height", default=128, type=int)
     ap.add_argument("--width", default=256, type=int)
     return ap.parse_args()
@@ -56,6 +58,7 @@ def main():
                      "none": "none"}[args.remat]
     cfg.TPU.FUSED_ABN = args.fused_abn
     cfg.TPU.MULTISCALE_HEAD = bool(args.multiscale_head)
+    cfg.TPU.ADAM_MOMENT_DTYPE = args.adam_moments
     system = build_system(cfg)
 
     b, h, w = args.batch, args.height, args.width
@@ -126,6 +129,7 @@ def main():
             "optimizer": args.optimizer, "split": args.split,
             "batch": b, "remat": args.remat, "fused_abn": args.fused_abn,
             "multiscale_head": bool(args.multiscale_head),
+            "adam_moments": args.adam_moments,
             "hw": [args.height, args.width],
         },
         "steps_per_sec": round(1.0 / sec, 3),

@@ -162,6 +162,9 @@ def get_default_config() -> ConfigNode:
     cfg.TPU.REMAT = "trunk"
     cfg.TPU.SPLIT_STEP = False  # compile G/D updates separately (lower peak HBM)
     cfg.TPU.PREFETCH = 2  # host->device pipeline depth
+    # Adam moment-buffer storage dtype: float32 (optax.adam) | bfloat16
+    # (halves optimizer-state HBM; update math stays f32)
+    cfg.TPU.ADAM_MOMENT_DTYPE = "float32"
     cfg.TPU.FUSED_ABN = "xla"  # 'xla' | 'pallas' fused BN+activation backend
     # True: prediction heads consume the raw multi-resolution branch list
     # (1x1 conv commuted before the bilinear upsample — exact math, ~8x fewer

@@ -65,5 +65,7 @@ def build_system(config) -> VAE2System:
     else:
         raise KeyError(f"Unknown MODEL.NAME: {name}")
 
-    opt = make_optimizer(config.TRAIN)
+    opt = make_optimizer(
+        config.TRAIN,
+        moment_dtype=str(config.TPU.get("ADAM_MOMENT_DTYPE", "float32")))
     return VAE2System(modules, hyper, optimizer_g=opt, optimizer_d=opt)

@@ -76,11 +76,50 @@ class VAE2State(struct.PyTreeNode):
     opt_state_d: PyTree
 
 
-def make_optimizer(cfg_train) -> optax.GradientTransformation:
+def scale_by_adam_lowp(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
+                       moment_dtype=jnp.bfloat16) -> optax.GradientTransformation:
+    """Adam whose moment buffers are STORED in ``moment_dtype`` (all update
+    math runs in f32). Halves optimizer-state HBM vs optax.adam — the 2x-f32
+    moments are what pushed the combined G+D flagship program over HBM (r1);
+    optax only supports a low-precision first moment (``mu_dtype``)."""
+
+    def init(params):
+        z = lambda p: jnp.zeros(p.shape, moment_dtype)
+        return optax.ScaleByAdamState(
+            count=jnp.zeros((), jnp.int32),
+            mu=jax.tree_util.tree_map(z, params),
+            nu=jax.tree_util.tree_map(z, params))
+
+    def update(grads, state, params=None):
+        del params
+        f32 = jnp.float32
+        mu = jax.tree_util.tree_map(
+            lambda g, m: b1 * m.astype(f32) + (1 - b1) * g.astype(f32),
+            grads, state.mu)
+        nu = jax.tree_util.tree_map(
+            lambda g, n: b2 * n.astype(f32) + (1 - b2) * jnp.square(
+                g.astype(f32)),
+            grads, state.nu)
+        count = state.count + 1
+        bc1 = 1 - b1 ** count.astype(f32)
+        bc2 = 1 - b2 ** count.astype(f32)
+        updates = jax.tree_util.tree_map(
+            lambda m, n: (m / bc1) / (jnp.sqrt(n / bc2) + eps), mu, nu)
+        store = lambda t: jax.tree_util.tree_map(
+            lambda x: x.astype(moment_dtype), t)
+        return updates, optax.ScaleByAdamState(
+            count=count, mu=store(mu), nu=store(nu))
+
+    return optax.GradientTransformation(init, update)
+
+
+def make_optimizer(cfg_train,
+                   moment_dtype: str = "float32") -> optax.GradientTransformation:
     """Build the optimizer matching reference tools/train.py:232-263.
 
     torch SGD applies weight decay as an L2 gradient term *before* the
     momentum buffer — ``add_decayed_weights`` then ``sgd`` reproduces it.
+    ``moment_dtype`` (TPU.ADAM_MOMENT_DTYPE) selects Adam moment storage.
     """
     name = cfg_train.OPTIMIZER.lower()
     if name == "sgd":
@@ -93,6 +132,12 @@ def make_optimizer(cfg_train) -> optax.GradientTransformation:
             ),
         )
     if name == "adam":
+        if moment_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"bad ADAM_MOMENT_DTYPE {moment_dtype!r}")
+        if moment_dtype == "bfloat16":
+            return optax.chain(
+                scale_by_adam_lowp(moment_dtype=jnp.bfloat16),
+                optax.scale(-cfg_train.LR))
         return optax.adam(learning_rate=cfg_train.LR)
     raise ValueError("Only Support SGD and ADAM optimizer")
 
