@@ -38,6 +38,8 @@ def parse_args():
                     help="commute head 1x1 convs before the upsample")
     ap.add_argument("--adam-moments", default="float32",
                     choices=("float32", "bfloat16"))
+    ap.add_argument("--profile-dir", default="",
+                    help="jax.profiler trace of 2 post-timing steps")
     ap.add_argument("--height", default=128, type=int)
     ap.add_argument("--width", default=256, type=int)
     return ap.parse_args()
@@ -119,6 +121,12 @@ def main():
         return metrics
 
     sec, latency = time_loop(run_iter, args.iters)
+
+    if args.profile_dir:
+        with jax.profiler.trace(args.profile_dir):
+            for i in range(2):
+                run_iter(i)
+            fetch_sync(box["state"])
 
     mfu = (flops / sec / V5E_PEAK_BF16) if flops else None
     print(json.dumps({
