@@ -67,7 +67,8 @@ def main():
             CHUNK = chunk
             break
         except Exception as e:  # noqa: BLE001
-            if "RESOURCE_EXHAUSTED" not in str(e) and "memory" not in str(e):
+            if ("RESOURCE_EXHAUSTED" not in str(e)
+                    and "Ran out of memory" not in str(e)):
                 raise
             print(f"# chunk {chunk} OOMs HBM; retrying smaller", flush=True)
     if compiled is None:

@@ -82,7 +82,8 @@ def main():
     for _ in range(args.warmup):
         rng, k = jax.random.split(rng)
         state, metrics, preds = step(state, batch, k, mult)
-    fetch_sync(metrics)
+    if args.warmup:
+        fetch_sync(metrics)
 
     # FLOPs from compiled.cost_analysis() — the axon backend returns None
     # for *lowered* (uncompiled) programs; after warmup these AOT compiles

@@ -152,17 +152,18 @@ def test_batchnormact_pallas_gradients_match_xla():
         (gx_p, gp_p), (gx_x, gp_x))
 
 
-def test_batchnormact_pallas_relu_substitutes_leaky():
-    """backend='pallas' + act='relu' uses the InPlace-ABN leaky_relu(0.01)
-    substitution (inplace_abn/bn.py:23) — pinned so the semantic deviation
-    is explicit."""
+def test_batchnormact_pallas_relu_falls_back_to_exact_relu():
+    """backend='pallas' + act='relu' must NOT change model math: true ReLU
+    is not invertible from outputs (the InPlace-ABN backward needs the
+    normalized pre-activation at zeroed positions), so the layer falls back
+    to the XLA epilogue and matches backend='xla' exactly."""
     from vae2_tpu.ops.norm import BatchNormAct
 
     rng = np.random.RandomState(4)
     x = jnp.asarray(rng.randn(2, 4, 4, 8), jnp.float32)
     relu_p = BatchNormAct(act="relu", backend="pallas")
-    leaky_x = BatchNormAct(act="leaky_relu", backend="xla")
-    variables = leaky_x.init(jax.random.PRNGKey(0), x, True)
-    y_r, _ = relu_p.apply(variables, x, True, mutable=["batch_stats"])
-    y_l, _ = leaky_x.apply(variables, x, True, mutable=["batch_stats"])
-    np.testing.assert_allclose(np.asarray(y_r), np.asarray(y_l), atol=2e-5)
+    relu_x = BatchNormAct(act="relu", backend="xla")
+    variables = relu_x.init(jax.random.PRNGKey(0), x, True)
+    y_p, _ = relu_p.apply(variables, x, True, mutable=["batch_stats"])
+    y_x, _ = relu_x.apply(variables, x, True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_x), atol=0)

@@ -49,15 +49,20 @@ def run_trace(args):
         0, 255, (1, h, w, 9), np.uint8))
     x2t = jnp.asarray(np.random.RandomState(1).randint(
         0, 255, (1, h, w, 9), np.uint8))
+    from vae2_tpu.utils.benchtime import fetch_sync
+
     rng = jax.random.PRNGKey(2)
     out = sampler(state, xt, x2t, rng)  # compile + warmup
-    jax.block_until_ready(out)
+    # block_until_ready does NOT wait for device execution under the axon
+    # runtime — only a host fetch does (vae2_tpu/utils/benchtime.py), so the
+    # trace window must close on fetch_sync or it captures nothing.
+    fetch_sync(out)
 
     jax.profiler.start_trace(args.trace_dir)
     for _ in range(args.steps):
         rng, k = jax.random.split(rng)
         out = sampler(state, xt, x2t, k)
-    jax.block_until_ready(out)
+    fetch_sync(out)
     jax.profiler.stop_trace()
     print(f"trace written to {args.trace_dir}")
 

@@ -250,6 +250,10 @@ def run_inference(config, system: VAE2System, state: VAE2State, loader,
         xt = jnp.asarray(batch["xt"][-1:])
         x2t = jnp.asarray(batch["x2t"][-1:])
         x3t = jnp.asarray(batch["x3t"][-1:])
+        if sampling_mode == "momentum_sampling":
+            # hoisted out of the chunk loop: one H2D upload per eval batch
+            xt_last = jnp.asarray(batch["xt_last"][-1:])
+            x3t_last = jnp.asarray(batch["x3t_last"][-1:])
 
         base = os.path.join(final_output_dir, "vis", f"epoch{epoch}", str(name))
         os.makedirs(base, exist_ok=True)
@@ -261,9 +265,7 @@ def run_inference(config, system: VAE2System, state: VAE2State, loader,
         while done < num_samples:
             rng, k = jax.random.split(rng)
             if sampling_mode == "momentum_sampling":
-                x1p, x2p, x3p = sampler(
-                    state, xt, x2t, jnp.asarray(batch["xt_last"][-1:]),
-                    jnp.asarray(batch["x3t_last"][-1:]), k)
+                x1p, x2p, x3p = sampler(state, xt, x2t, xt_last, x3t_last, k)
             else:
                 x1p, x2p, x3p = sampler(state, xt, x2t, k)
             take = min(chunk, num_samples - done)

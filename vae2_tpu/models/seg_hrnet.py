@@ -52,5 +52,5 @@ def get_seg_model(cfg) -> SegHRNet:
         num_classes=cfg.DATASET.NUM_CLASSES,
         final_kernel=int(extra.get("FINAL_CONV_KERNEL", 1)),
         dtype=dtype,
-        multiscale_head=bool(cfg.TPU.get("MULTISCALE_HEAD", True)),
+        multiscale_head=bool(cfg.TPU.get("MULTISCALE_HEAD", False)),
     )

@@ -247,7 +247,7 @@ def get_encdec_model(config) -> VAE2EncDec:
         z_dim=int(extra.get("Z_DIM", 32)),
         dtype=dtype,
         remat=_remat(config),
-        multiscale_head=bool(config.TPU.get("MULTISCALE_HEAD", True)),
+        multiscale_head=bool(config.TPU.get("MULTISCALE_HEAD", False)),
     )
 
 
@@ -267,7 +267,7 @@ def get_D_sequence_model(config) -> VAE2Discriminator:
     return VAE2Discriminator(
         specs=specs, final_kernel=int(extra.get("FINAL_CONV_KERNEL", 1)),
         dtype=dtype, remat=_remat(config),
-        multiscale_head=bool(config.TPU.get("MULTISCALE_HEAD", True)))
+        multiscale_head=bool(config.TPU.get("MULTISCALE_HEAD", False)))
 
 
 def get_D_frame_model(config) -> VAE2Discriminator:

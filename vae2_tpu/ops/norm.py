@@ -48,12 +48,18 @@ def set_default_bn_backend(backend: str) -> None:
     _DEFAULT_BACKEND = backend
 
 
-# InPlace-ABN can only invert leaky-ReLU-style activations in the backward
-# (y -> z needs y/slope for y<0), so 'relu' maps to leaky_relu(0.01) under
-# the pallas backend — the exact substitution the reference's vendored
-# extension makes when swapping BatchNorm2d+ReLU for ABN (inplace_abn/bn.py
-# :23 defaults activation='leaky_relu', slope=0.01). 'none' is slope=1.
-_PALLAS_SLOPES = {None: 1.0, "none": 1.0, "relu": 0.01, "leaky_relu": 0.01}
+# InPlace-ABN's memory-saving backward reconstructs the normalized
+# pre-activation from the *output* — possible only for invertible
+# activations (leaky_relu: y/slope for y<0; identity). True ReLU destroys
+# the negative values that BN's backward still needs (dx_i couples every
+# position through the edz/eydz reduction terms), which is exactly why the
+# reference's vendored extension only offers leaky_relu/elu/none
+# (inplace_abn/bn.py:23) and why its *video* model sticks to plain
+# nn.BatchNorm2d + nn.ReLU (enc_hrnet.py:22). 'relu' therefore falls back
+# to the XLA epilogue path (warned once) instead of silently changing the
+# model's math.
+_PALLAS_SLOPES = {None: 1.0, "none": 1.0, "leaky_relu": 0.01}
+_warned_relu_fallback = False
 
 
 def _apply_act(x: Array, act: Optional[str]) -> Array:
@@ -115,6 +121,18 @@ class BatchNormAct(nn.Module):
         use_pallas = (backend == "pallas" and self.use_scale_bias
                       and self.act in _PALLAS_SLOPES
                       and self.axis_name is None)
+        if backend == "pallas" and self.act == "relu":
+            global _warned_relu_fallback
+            if not _warned_relu_fallback:
+                _warned_relu_fallback = True
+                import warnings
+
+                warnings.warn(
+                    "TPU.FUSED_ABN='pallas': true-ReLU layers use the XLA "
+                    "epilogue path (ReLU is not invertible from outputs, so "
+                    "the InPlace-ABN memory-saving backward cannot apply "
+                    "without changing model semantics). Pallas engages on "
+                    "leaky_relu/none layers only.")
 
         reduce_axes = tuple(range(x.ndim - 1))
         if train:
