@@ -31,12 +31,10 @@ def parse_args():
 
 
 def _reexec_on_cpu():
-    env = dict(os.environ)
-    env.pop("PALLAS_AXON_POOL_IPS", None)
-    env["JAX_PLATFORMS"] = "cpu"
+    from vae2_tpu.utils.cpuenv import force_cpu_env
+
+    env = force_cpu_env()
     env["VAE2_TPU_SUMMARY_CPU"] = "1"
-    env["JAX_COMPILATION_CACHE_DIR"] = os.path.expanduser(
-        "~/.cache/vae2_tpu_xla_cpu")
     raise SystemExit(subprocess.run(
         [sys.executable] + sys.argv, env=env).returncode)
 

@@ -101,12 +101,10 @@ def main():
         # collectives backend) to loopback so it never advertises an
         # external interface
         "GLOO_SOCKET_IFNAME": "lo",
-        # CPU-only cache dir: entries from other hosts/platforms in the main
-        # cache trigger machine-feature-mismatched AOT loads (SIGILL risk)
-        "JAX_COMPILATION_CACHE_DIR": os.path.expanduser(
-            "~/.cache/vae2_tpu_xla_cpu"),
     }
-    env_base.pop("PALLAS_AXON_POOL_IPS", None)  # keep the axon plugin out
+    from vae2_tpu.utils.cpuenv import force_cpu_env
+
+    env_base = force_cpu_env(env=env_base)
     procs = []
     for pid in (0, 1):
         env = dict(env_base, PROCESS_ID=str(pid))

@@ -125,6 +125,9 @@ def main():
         }
         trajectory.append(row)
         print(json.dumps(row), flush=True)
+        if args.trajectory_out:  # write incrementally — survive cutoffs
+            with open(os.path.join(REPO, args.trajectory_out), "w") as f:
+                json.dump(trajectory, f, indent=2)
 
     print("\nepoch |   x2 L1  | x2 MS-SSIM | x2 PSNR |   FID")
     for r in trajectory:
