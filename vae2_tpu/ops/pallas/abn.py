@@ -51,8 +51,12 @@ def _interpret() -> bool:
 
 
 def _fwd_kernel(x_ref, mul_ref, add_ref, y_ref, *, slope: float):
-    y = x_ref[:] * mul_ref[:] + add_ref[:]
-    y_ref[:] = jnp.where(y >= 0, y, y * slope)
+    # compute (and compare) in f32: Mosaic has no bf16 vector compare on
+    # this target ("Target does not support this comparison"); casts stay
+    # in registers, VMEM traffic remains in the storage dtype
+    y = (x_ref[:].astype(jnp.float32) * mul_ref[:].astype(jnp.float32)
+         + add_ref[:].astype(jnp.float32))
+    y_ref[:] = jnp.where(y >= 0, y, y * slope).astype(y_ref.dtype)
 
 
 def _abn_rows(x2d: Array, mul: Array, add: Array, slope: float) -> Array:
@@ -98,10 +102,10 @@ def _sums_kernel(y_ref, dz_ref, gb_ref, edz_ref, eydz_ref, *, slope: float):
     (edz_eydz_kernel, inplace_abn_cuda.cu:174-220)."""
     i = pl.program_id(0)
 
-    y = y_ref[:]
-    dz = dz_ref[:]
-    gamma = gb_ref[0:1, :]
-    beta = gb_ref[1:2, :]
+    y = y_ref[:].astype(jnp.float32)
+    dz = dz_ref[:].astype(jnp.float32)
+    gamma = gb_ref[0:1, :].astype(jnp.float32)
+    beta = gb_ref[1:2, :].astype(jnp.float32)
     # invert activation: pre-activation z = y/slope where y < 0
     z = jnp.where(y >= 0, y, y / slope)
     dz_eff = jnp.where(y >= 0, dz, dz * slope)
@@ -124,18 +128,19 @@ def _dx_kernel(y_ref, dz_ref, gb_ref, stat_ref, dx_ref, *, slope: float,
                inv_n: float):
     """dx = (dz - edz/N - y_norm * eydz/N) * gamma * rsqrt(var+eps)
     (backward_kernel, inplace_abn_cuda.cu:226-295)."""
-    y = y_ref[:]
-    dz = dz_ref[:]
-    gamma = gb_ref[0:1, :]
-    beta = gb_ref[1:2, :]
-    mul = stat_ref[0:1, :]  # gamma * rsqrt(var+eps)
-    edz = stat_ref[1:2, :]
-    eydz = stat_ref[2:3, :]
+    y = y_ref[:].astype(jnp.float32)
+    dz = dz_ref[:].astype(jnp.float32)
+    gamma = gb_ref[0:1, :].astype(jnp.float32)
+    beta = gb_ref[1:2, :].astype(jnp.float32)
+    mul = stat_ref[0:1, :].astype(jnp.float32)  # gamma * rsqrt(var+eps)
+    edz = stat_ref[1:2, :].astype(jnp.float32)
+    eydz = stat_ref[2:3, :].astype(jnp.float32)
 
     z = jnp.where(y >= 0, y, y / slope)
     dz_eff = jnp.where(y >= 0, dz, dz * slope)
     y_norm = (z - beta) / gamma
-    dx_ref[:] = (dz_eff - edz * inv_n - y_norm * eydz * inv_n) * mul
+    dx_ref[:] = ((dz_eff - edz * inv_n - y_norm * eydz * inv_n)
+                 * mul).astype(dx_ref.dtype)
 
 
 def _abn_bwd_rows(y2d: Array, dz2d: Array, gamma: Array, beta: Array,
@@ -144,7 +149,7 @@ def _abn_bwd_rows(y2d: Array, dz2d: Array, gamma: Array, beta: Array,
     r, c = y2d.shape
     tile = min(_ROW_TILE, r)
     grid = (pl.cdiv(r, tile),)
-    gb = jnp.stack([gamma, beta]).astype(y2d.dtype)  # (2, C)
+    gb = jnp.stack([gamma, beta]).astype(jnp.float32)  # (2, C)
 
     edz, eydz = pl.pallas_call(
         functools.partial(_sums_kernel, slope=slope),
@@ -166,8 +171,7 @@ def _abn_bwd_rows(y2d: Array, dz2d: Array, gamma: Array, beta: Array,
     )(y2d, dz2d, gb)
 
     stat = jnp.concatenate(
-        [(gamma * inv_std)[None, :].astype(jnp.float32), edz, eydz], axis=0
-    ).astype(y2d.dtype)
+        [(gamma * inv_std)[None, :].astype(jnp.float32), edz, eydz], axis=0)
 
     dx = pl.pallas_call(
         functools.partial(_dx_kernel, slope=slope, inv_n=1.0 / r),
