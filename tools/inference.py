@@ -77,14 +77,18 @@ def main():
     from vae2_tpu.utils.checkpoint import template_from_init
     template = template_from_init(system, jax.random.PRNGKey(0), example_batch)
 
-    ckpt = args.checkpoint or os.path.join(final_output_dir, "checkpoint.msgpack")
-    state, epoch = load_checkpoint(ckpt, template, restore_opt=False)
-    logger.info("=> loaded checkpoint %s (epoch %d)", ckpt, epoch)
-
-    run_inference(config, system, state, loader, final_output_dir, epoch, rng,
-                  num_samples=args.num_samples,
-                  save_images=not args.no_images,
-                  sampling_mode=args.sampling_mode)
+    # --checkpoint accepts a comma-separated list: every checkpoint is
+    # evaluated in THIS process, reusing the one compiled sampler — a
+    # trajectory eval costs one compile instead of one per snapshot.
+    ckpts = (args.checkpoint.split(",") if args.checkpoint
+             else [os.path.join(final_output_dir, "checkpoint.msgpack")])
+    for ckpt in ckpts:
+        state, epoch = load_checkpoint(ckpt, template, restore_opt=False)
+        logger.info("=> loaded checkpoint %s (epoch %d)", ckpt, epoch)
+        run_inference(config, system, state, loader, final_output_dir, epoch,
+                      rng, num_samples=args.num_samples,
+                      save_images=not args.no_images,
+                      sampling_mode=args.sampling_mode)
     logger.info("Done")
 
 

@@ -68,6 +68,17 @@ def main():
     ap.add_argument("--out", default="output_northstar",
                     help="OUTPUT_DIR override (isolated from other runs)")
     ap.add_argument("--trajectory-out", default="")
+    ap.add_argument("--eval-epoch0", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="evaluate the untrained init as the epoch-0 row")
+    ap.add_argument("--one-shot", action="store_true",
+                    help="train all epochs in ONE process (snapshots every "
+                         "epochs/eval-points), then evaluate every snapshot "
+                         "in ONE inference process — one train compile + one "
+                         "inference compile for the whole trajectory, vs one "
+                         "of each per epoch in the default mode")
+    ap.add_argument("--eval-points", default=4, type=int,
+                    help="number of trajectory points in --one-shot mode")
     args = ap.parse_args()
 
     cfg_name = os.path.basename(args.cfg).split(".")[0]
@@ -84,21 +95,28 @@ def main():
     # create_logger: OUTPUT_DIR / dataset / cfg_name
     final_dir = os.path.join(REPO, args.out, "cityscapessequence", cfg_name)
 
-    trajectory = []
-    for epoch in range(1, args.epochs + 1):
-        # one more epoch, resuming from the previous checkpoint
+    import shutil
+
+    def run_train(end_epoch, extra=()):
         run([sys.executable, os.path.join(TOOLS, "train.py"),
              "--cfg", args.cfg] + common_opts
-            + ["TRAIN.END_EPOCH", str(epoch), "AUTO_RESUME", "True"])
+            + ["TRAIN.END_EPOCH", str(end_epoch), "AUTO_RESUME", "True"]
+            + list(extra))
 
-        run([sys.executable, os.path.join(TOOLS, "inference.py"),
-             "--cfg", args.cfg, "--num-samples", str(args.num_samples)]
-            + common_opts + ["TEST.NUM_SAMPLES", str(args.eval_clips)])
+    def run_inference_cli(ckpt=""):
+        cmd = [sys.executable, os.path.join(TOOLS, "inference.py"),
+               "--cfg", args.cfg, "--num-samples", str(args.num_samples)]
+        if ckpt:
+            cmd += ["--checkpoint", ckpt]
+        run(cmd + common_opts + ["TEST.NUM_SAMPLES", str(args.eval_clips)])
 
+    trajectory = []
+
+    def eval_epoch(epoch):
+        """stats + FID over the inference dump of one epoch -> one row."""
         vis = os.path.join(final_dir, "vis", f"epoch{epoch}")
         if not os.path.isdir(vis):
             raise SystemExit(f"inference produced no dump at {vis}")
-
         meanvar = {}
         for cand in ("x2t", "x3t"):
             stats_json = os.path.join(vis, f"meanvar_{cand}.json")
@@ -112,9 +130,7 @@ def main():
              "--root", vis, "--mode", "bestsample", "--candidate", "x2t",
              "--points", f"1,{args.num_samples}", "--out", best_json],
             stdout=subprocess.DEVNULL)
-
         fid = run_fid(vis, vis, "*/x2tpredict/*.png", "*/x2t_*.png")
-
         row = {
             "epoch": epoch,
             "x2_l1": meanvar["x2t"]["1_reconloss"][0],
@@ -128,6 +144,42 @@ def main():
         if args.trajectory_out:  # write incrementally — survive cutoffs
             with open(os.path.join(REPO, args.trajectory_out), "w") as f:
                 json.dump(trajectory, f, indent=2)
+
+    if args.one_shot:
+        stride = max(1, args.epochs // args.eval_points)
+        points = sorted(set(range(stride, args.epochs + 1, stride))
+                        | {args.epochs})
+        # untrained init snapshot (epoch 0)
+        run_train(0)
+        shutil.copy(os.path.join(final_dir, "model_final_state.msgpack"),
+                    os.path.join(final_dir, "checkpoint_epoch0000.msgpack"))
+        # the whole training run, snapshotting every ``stride`` epochs
+        run_train(args.epochs, ["TRAIN.SNAPSHOT_EVERY", str(stride)])
+        points = ([0] if args.eval_epoch0 else []) + points
+        ckpts = []
+        for e in points:
+            p = os.path.join(final_dir, f"checkpoint_epoch{e:04d}.msgpack")
+            ckpts.append(p if os.path.isfile(p)
+                         else os.path.join(final_dir, "checkpoint.msgpack"))
+        run_inference_cli(",".join(ckpts))
+        for e in points:
+            eval_epoch(e)
+    else:
+        epochs = ([0] if args.eval_epoch0 else []) + \
+            list(range(1, args.epochs + 1))
+        for epoch in epochs:
+            # one more epoch, resuming from the previous checkpoint. Epoch 0
+            # trains nothing and saves the untrained init — the baseline row
+            # that makes improvement across the trajectory measurable.
+            run_train(epoch)
+            if epoch == 0:
+                # inference reads checkpoint.msgpack; epoch 0 only writes
+                # model_final_state.msgpack
+                shutil.copy(
+                    os.path.join(final_dir, "model_final_state.msgpack"),
+                    os.path.join(final_dir, "checkpoint.msgpack"))
+            run_inference_cli()
+            eval_epoch(epoch)
 
     print("\nepoch |   x2 L1  | x2 MS-SSIM | x2 PSNR |   FID")
     for r in trajectory:

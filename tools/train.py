@@ -165,6 +165,12 @@ def main():
             ckpt = os.path.join(final_output_dir, "checkpoint.msgpack")
             logger.info("=> saving checkpoint to %s", ckpt)
             save_checkpoint(ckpt, state, epoch + 1)
+            snap = int(config.TRAIN.get("SNAPSHOT_EVERY", 0))
+            if snap and (epoch + 1) % snap == 0:
+                import shutil
+                shutil.copy(ckpt, os.path.join(
+                    final_output_dir,
+                    f"checkpoint_epoch{epoch + 1:04d}.msgpack"))
 
     if jax.process_index() == 0:
         save_checkpoint(

@@ -127,6 +127,9 @@ def get_default_config() -> ConfigNode:
     cfg.TRAIN.BATCH_SIZE_PER_GPU = 8
     cfg.TRAIN.SHUFFLE = True
     cfg.TRAIN.NUM_SAMPLES = 0
+    # keep a numbered copy of checkpoint.msgpack every N epochs (0: off) —
+    # lets one training run feed a multi-checkpoint trajectory eval
+    cfg.TRAIN.SNAPSHOT_EVERY = 0
 
     cfg.TEST = ConfigNode()
     cfg.TEST.IMAGE_SIZE = [256, 128]

@@ -34,6 +34,10 @@ from .system import VAE2State, VAE2System, split_muvar
 
 logger = logging.getLogger("vae2_tpu")
 
+# jitted samplers keyed by (id(system), mode, chunk, h, w) — reused across
+# run_inference calls so multi-checkpoint evals compile once
+_SAMPLER_CACHE: Dict[tuple, Callable] = {}
+
 
 def prior_z_shapes(hyper, height: int, width: int) -> Optional[list]:
     """Static latent shapes for prior sampling.
@@ -224,12 +228,20 @@ def run_inference(config, system: VAE2System, state: VAE2State, loader,
     h_img = config.TRAIN.IMAGE_SIZE[1]
     w_img = config.TRAIN.IMAGE_SIZE[0]
     chunk = min(int(config.TPU.INFER_SAMPLE_BATCH), num_samples)
-    if sampling_mode == "momentum_sampling":
+    # Cache the jitted sampler across run_inference calls: a multi-checkpoint
+    # trajectory eval (tools/inference.py --checkpoint a,b,c) must compile
+    # once, not once per snapshot (a fresh jax.jit object recompiles).
+    key = (id(system), sampling_mode, chunk, h_img, w_img)
+    cached = _SAMPLER_CACHE.get(key)
+    if cached is not None:
+        sampler = cached
+    elif sampling_mode == "momentum_sampling":
         sampler = make_momentum_sampler(system, chunk)
     elif sampling_mode == "prior_sampling":
         sampler = make_prior_sampler(system, chunk, h_img, w_img)
     else:
-        raise ValueError(f"unsupported sampling_mode: {sampling_mode}")
+        raise ValueError(f"unknown sampling_mode: {sampling_mode}")
+    _SAMPLER_CACHE[key] = sampler
     metric_fn = make_metric_fn()
     is_baseline = system.hyper.is_baseline
 
