@@ -110,3 +110,36 @@ def test_momentum_rejects_deterministic_model():
     system = build_system(cfg)
     with pytest.raises(ValueError):
         make_momentum_sampler(system, chunk=2)
+
+
+def test_run_inference_reuses_jitted_sampler(tiny_state, tmp_path,
+                                             monkeypatch):
+    """Multi-checkpoint trajectory evals (tools/inference.py
+    --checkpoint a,b,c) must build the jitted sampler ONCE across
+    run_inference calls — a fresh jax.jit object per snapshot recompiles."""
+    from vae2_tpu.config import get_default_config
+    from vae2_tpu.core import infer_loop
+
+    system, state = tiny_state
+    cfg = get_default_config()
+    cfg.TRAIN.IMAGE_SIZE = [W, H]
+    cfg.TPU.INFER_SAMPLE_BATCH = CHUNK
+
+    calls = {"n": 0}
+    real = infer_loop.make_prior_sampler
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(infer_loop, "make_prior_sampler", counting)
+    infer_loop._SAMPLER_CACHE.clear()
+    loader = [({k: np.asarray(_u8(i + 7)) for k in ("xt", "x2t", "x3t")},
+               [f"clip{i}"]) for i in range(1)]
+    for epoch in (0, 1):
+        infer_loop.run_inference(
+            cfg, system, state, loader, str(tmp_path), epoch,
+            jax.random.PRNGKey(epoch), num_samples=CHUNK,
+            save_images=False)
+    assert calls["n"] == 1, "sampler was rebuilt per checkpoint"
+    infer_loop._SAMPLER_CACHE.clear()
