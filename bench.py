@@ -24,7 +24,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-CHUNK = 256  # prior samples folded per forward (single-chip HBM ceiling: 512 OOMs)
+import os
+
+CHUNK = int(os.environ.get("VAE2_BENCH_CHUNK", "256"))  # samples folded per forward
 ITERS = 16
 H, W = 128, 256
 
@@ -60,7 +62,7 @@ def main():
     # bench always emits its JSON line
     global CHUNK
     compiled = None
-    for chunk in (CHUNK, 192, 128, 96, 64, 32):
+    for chunk in dict.fromkeys((CHUNK, 256, 192, 128, 96, 64, 32)):
         sampler = make_prior_sampler(system, chunk=chunk, height=H, width=W)
         try:
             compiled = sampler.lower(state, xt, x2t, rng).compile()
