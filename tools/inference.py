@@ -80,7 +80,8 @@ def main():
     # --checkpoint accepts a comma-separated list: every checkpoint is
     # evaluated in THIS process, reusing the one compiled sampler — a
     # trajectory eval costs one compile instead of one per snapshot.
-    ckpts = (args.checkpoint.split(",") if args.checkpoint
+    ckpts = ([c for c in args.checkpoint.split(",") if c]
+             if args.checkpoint
              else [os.path.join(final_output_dir, "checkpoint.msgpack")])
     for ckpt in ckpts:
         state, epoch = load_checkpoint(ckpt, template, restore_opt=False)

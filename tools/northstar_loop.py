@@ -98,10 +98,14 @@ def main():
     import shutil
 
     def run_train(end_epoch, extra=()):
-        run([sys.executable, os.path.join(TOOLS, "train.py"),
-             "--cfg", args.cfg] + common_opts
+        cmd = [sys.executable, os.path.join(TOOLS, "train.py"),
+               "--cfg", args.cfg] + common_opts \
             + ["TRAIN.END_EPOCH", str(end_epoch), "AUTO_RESUME", "True"]
-            + list(extra))
+        if end_epoch == 0:
+            # the untrained-init run must train NOTHING (END_EPOCH +
+            # EXTRA_EPOCH epochs would run otherwise)
+            cmd += ["TRAIN.EXTRA_EPOCH", "0"]
+        run(cmd + list(extra))
 
     def run_inference_cli(ckpt=""):
         cmd = [sys.executable, os.path.join(TOOLS, "inference.py"),
@@ -109,6 +113,12 @@ def main():
         if ckpt:
             cmd += ["--checkpoint", ckpt]
         run(cmd + common_opts + ["TEST.NUM_SAMPLES", str(args.eval_clips)])
+
+    if args.eval_epoch0 and os.path.isfile(
+            os.path.join(final_dir, "checkpoint.msgpack")):
+        raise SystemExit(
+            f"{final_dir} already holds a checkpoint — the epoch-0 baseline "
+            "would silently evaluate trained weights. Use a fresh --out.")
 
     trajectory = []
 
@@ -149,18 +159,26 @@ def main():
         stride = max(1, args.epochs // args.eval_points)
         points = sorted(set(range(stride, args.epochs + 1, stride))
                         | {args.epochs})
-        # untrained init snapshot (epoch 0)
-        run_train(0)
-        shutil.copy(os.path.join(final_dir, "model_final_state.msgpack"),
-                    os.path.join(final_dir, "checkpoint_epoch0000.msgpack"))
+        if args.eval_epoch0:
+            # untrained init snapshot (epoch 0)
+            run_train(0)
+            shutil.copy(
+                os.path.join(final_dir, "model_final_state.msgpack"),
+                os.path.join(final_dir, "checkpoint_epoch0000.msgpack"))
+            points = [0] + points
         # the whole training run, snapshotting every ``stride`` epochs
         run_train(args.epochs, ["TRAIN.SNAPSHOT_EVERY", str(stride)])
-        points = ([0] if args.eval_epoch0 else []) + points
         ckpts = []
         for e in points:
             p = os.path.join(final_dir, f"checkpoint_epoch{e:04d}.msgpack")
-            ckpts.append(p if os.path.isfile(p)
-                         else os.path.join(final_dir, "checkpoint.msgpack"))
+            if not os.path.isfile(p):
+                if e != args.epochs:
+                    # fail BEFORE the expensive inference pass: a substitute
+                    # checkpoint would dump under its own stored epoch and
+                    # eval_epoch(e) would die afterwards
+                    raise SystemExit(f"missing snapshot {p}")
+                p = os.path.join(final_dir, "checkpoint.msgpack")
+            ckpts.append(p)
         run_inference_cli(",".join(ckpts))
         for e in points:
             eval_epoch(e)

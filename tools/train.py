@@ -11,6 +11,7 @@ G/D loop over a TPU mesh with per-epoch checkpointing.
 import argparse
 import os
 import pprint
+import shutil
 import timeit
 
 import jax
@@ -165,9 +166,8 @@ def main():
             ckpt = os.path.join(final_output_dir, "checkpoint.msgpack")
             logger.info("=> saving checkpoint to %s", ckpt)
             save_checkpoint(ckpt, state, epoch + 1)
-            snap = int(config.TRAIN.get("SNAPSHOT_EVERY", 0))
+            snap = int(config.TRAIN.SNAPSHOT_EVERY)
             if snap and (epoch + 1) % snap == 0:
-                import shutil
                 shutil.copy(ckpt, os.path.join(
                     final_output_dir,
                     f"checkpoint_epoch{epoch + 1:04d}.msgpack"))

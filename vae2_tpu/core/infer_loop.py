@@ -19,6 +19,7 @@ TPU-first differences from the reference:
 
 from __future__ import annotations
 
+import functools
 import logging
 import os
 from typing import Callable, Dict, Optional
@@ -139,6 +140,7 @@ def make_momentum_sampler(system: VAE2System, chunk: int) -> Callable:
     return jax.jit(fn)
 
 
+@functools.lru_cache(maxsize=8)
 def make_metric_fn(strict_msssim: Optional[bool] = None) -> Callable:
     """Jitted: (pred (S,H,W,3F) normalized, gt (1,H,W,3F) uint8) ->
     dict of (S, F) metric arrays [ssim, msssim, l1, psnr].

@@ -33,9 +33,11 @@ def force_cpu_env(env: Optional[Dict[str, str]] = None,
     env["JAX_PLATFORMS"] = "cpu"
     env["JAX_COMPILATION_CACHE_DIR"] = os.path.expanduser(CPU_CACHE_DIR)
     if n_devices is not None:
-        flags = env.get("XLA_FLAGS", "")
-        if "xla_force_host_platform_device_count" not in flags:
-            env["XLA_FLAGS"] = (
-                f"{flags} --xla_force_host_platform_device_count={n_devices}"
-            ).strip()
+        import re
+
+        flags = re.sub(r"--xla_force_host_platform_device_count=\d+", "",
+                       env.get("XLA_FLAGS", ""))
+        env["XLA_FLAGS"] = (
+            f"{flags} --xla_force_host_platform_device_count={n_devices}"
+        ).strip()
     return env
