@@ -106,7 +106,7 @@ def test_batchnormact_pallas_backend_matches_xla():
     rng = np.random.RandomState(2)
     x = jnp.asarray(rng.randn(4, 8, 8, 16) * 2 + 1, jnp.float32)
 
-    for act in (None, "leaky_relu"):
+    for act in (None, "leaky_relu", "elu"):
         xla_bn = BatchNormAct(act=act, backend="xla")
         pal_bn = BatchNormAct(act=act, backend="pallas")
         variables = xla_bn.init(jax.random.PRNGKey(0), x, True)
@@ -131,25 +131,27 @@ def test_batchnormact_pallas_gradients_match_xla():
 
     rng = np.random.RandomState(3)
     x = jnp.asarray(rng.randn(2, 4, 4, 8), jnp.float32)
-    xla_bn = BatchNormAct(act="leaky_relu", backend="xla")
-    pal_bn = BatchNormAct(act="leaky_relu", backend="pallas")
-    variables = xla_bn.init(jax.random.PRNGKey(0), x, True)
-    params = variables["params"]
-    stats = {"batch_stats": variables.get("batch_stats", {})}
+    for act in ("leaky_relu", "elu"):
+        xla_bn = BatchNormAct(act=act, backend="xla")
+        pal_bn = BatchNormAct(act=act, backend="pallas")
+        variables = xla_bn.init(jax.random.PRNGKey(0), x, True)
+        params = variables["params"]
+        stats = {"batch_stats": variables.get("batch_stats", {})}
 
-    def loss(bn, p, xx):
-        y, _ = bn.apply({"params": p, **stats}, xx, True,
-                        mutable=["batch_stats"])
-        return jnp.sum(y * y)
+        def loss(bn, p, xx):
+            y, _ = bn.apply({"params": p, **stats}, xx, True,
+                            mutable=["batch_stats"])
+            return jnp.sum(y * y)
 
-    gx_p, gp_p = jax.grad(lambda p, xx: loss(pal_bn, p, xx),
-                          argnums=(0, 1))(params, x)
-    gx_x, gp_x = jax.grad(lambda p, xx: loss(xla_bn, p, xx),
-                          argnums=(0, 1))(params, x)
-    jax.tree.map(
-        lambda a, b: np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), atol=3e-4, rtol=1e-3),
-        (gx_p, gp_p), (gx_x, gp_x))
+        gx_p, gp_p = jax.grad(lambda p, xx: loss(pal_bn, p, xx),
+                              argnums=(0, 1))(params, x)
+        gx_x, gp_x = jax.grad(lambda p, xx: loss(xla_bn, p, xx),
+                              argnums=(0, 1))(params, x)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=3e-4, rtol=1e-3,
+                err_msg=f"act={act}"),
+            (gx_p, gp_p), (gx_x, gp_x))
 
 
 def test_batchnormact_pallas_relu_falls_back_to_exact_relu():

@@ -22,6 +22,7 @@ from __future__ import annotations
 import functools
 import logging
 import os
+import weakref
 from typing import Callable, Dict, Optional
 
 import jax
@@ -35,9 +36,12 @@ from .system import VAE2State, VAE2System, split_muvar
 
 logger = logging.getLogger("vae2_tpu")
 
-# jitted samplers keyed by (id(system), mode, chunk, h, w) — reused across
-# run_inference calls so multi-checkpoint evals compile once
-_SAMPLER_CACHE: Dict[tuple, Callable] = {}
+# jitted samplers keyed per live VAE2System (weakly — id() reuse after GC
+# must not alias a stale jitted sampler onto a new system) then by
+# (mode, chunk, h, w) — reused across run_inference calls so
+# multi-checkpoint evals compile once
+_SAMPLER_CACHE: "weakref.WeakKeyDictionary[VAE2System, Dict[tuple, Callable]]" \
+    = weakref.WeakKeyDictionary()
 
 
 def prior_z_shapes(hyper, height: int, width: int) -> Optional[list]:
@@ -233,8 +237,9 @@ def run_inference(config, system: VAE2System, state: VAE2State, loader,
     # Cache the jitted sampler across run_inference calls: a multi-checkpoint
     # trajectory eval (tools/inference.py --checkpoint a,b,c) must compile
     # once, not once per snapshot (a fresh jax.jit object recompiles).
-    key = (id(system), sampling_mode, chunk, h_img, w_img)
-    cached = _SAMPLER_CACHE.get(key)
+    per_system = _SAMPLER_CACHE.setdefault(system, {})
+    key = (sampling_mode, chunk, h_img, w_img)
+    cached = per_system.get(key)
     if cached is not None:
         sampler = cached
     elif sampling_mode == "momentum_sampling":
@@ -243,7 +248,7 @@ def run_inference(config, system: VAE2System, state: VAE2State, loader,
         sampler = make_prior_sampler(system, chunk, h_img, w_img)
     else:
         raise ValueError(f"unknown sampling_mode: {sampling_mode}")
-    _SAMPLER_CACHE[key] = sampler
+    per_system[key] = sampler
     metric_fn = make_metric_fn()
     is_baseline = system.hyper.is_baseline
 

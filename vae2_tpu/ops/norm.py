@@ -50,15 +50,17 @@ def set_default_bn_backend(backend: str) -> None:
 
 # InPlace-ABN's memory-saving backward reconstructs the normalized
 # pre-activation from the *output* — possible only for invertible
-# activations (leaky_relu: y/slope for y<0; identity). True ReLU destroys
-# the negative values that BN's backward still needs (dx_i couples every
-# position through the edz/eydz reduction terms), which is exactly why the
-# reference's vendored extension only offers leaky_relu/elu/none
-# (inplace_abn/bn.py:23) and why its *video* model sticks to plain
-# nn.BatchNorm2d + nn.ReLU (enc_hrnet.py:22). 'relu' therefore falls back
-# to the XLA epilogue path (warned once) instead of silently changing the
-# model's math.
-_PALLAS_SLOPES = {None: 1.0, "none": 1.0, "leaky_relu": 0.01}
+# activations (leaky_relu: y/slope for y<0; elu: log1p(y); identity).
+# True ReLU destroys the negative values that BN's backward still needs
+# (dx_i couples every position through the edz/eydz reduction terms),
+# which is exactly why the reference's vendored extension only offers
+# leaky_relu/elu/none (inplace_abn/bn.py:23, inplace_abn_cpu.cpp:92-120)
+# and why its *video* model sticks to plain nn.BatchNorm2d + nn.ReLU
+# (enc_hrnet.py:22). 'relu' therefore falls back to the XLA epilogue path
+# (warned once) instead of silently changing the model's math.
+# Maps act name -> (pallas act tag, slope).
+_PALLAS_ACTS = {None: ("none", 1.0), "none": ("none", 1.0),
+                "leaky_relu": ("leaky_relu", 0.01), "elu": ("elu", 1.0)}
 _warned_relu_fallback = False
 
 
@@ -119,7 +121,7 @@ class BatchNormAct(nn.Module):
         # axis_name (shard_map/pmap) stays on the xla path, whose stats
         # reductions carry the pmean.
         use_pallas = (backend == "pallas" and self.use_scale_bias
-                      and self.act in _PALLAS_SLOPES
+                      and self.act in _PALLAS_ACTS
                       and self.axis_name is None)
         if backend == "pallas" and self.act == "relu":
             global _warned_relu_fallback
@@ -160,16 +162,17 @@ class BatchNormAct(nn.Module):
         if use_pallas:
             from .pallas.abn import fused_abn, fused_abn_infer
 
-            slope = _PALLAS_SLOPES[self.act]
+            act_tag, slope = _PALLAS_ACTS[self.act]
             xc = x.astype(self.dtype)
             if train:
                 # fused_abn normalizes with batch stats it computes itself
                 # (identical jnp reductions — XLA CSEs them with the
                 # running-stat update above) and saves only y for the
                 # activation-inverting backward.
-                return fused_abn(xc, scale, bias, self.epsilon, slope)
+                return fused_abn(xc, scale, bias, self.epsilon, slope,
+                                 act_tag)
             return fused_abn_infer(xc, mean, var, scale, bias,
-                                   self.epsilon, slope)
+                                   self.epsilon, slope, act_tag)
 
         # Fold (mean, var, scale, bias) into per-channel (mul, add) in f32,
         # then do the big elementwise normalize in the compute dtype — an f32

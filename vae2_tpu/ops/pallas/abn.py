@@ -45,26 +45,60 @@ def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
+# -- invertible activations (reference inplace_abn_cpu.cpp:92-120) ----------
+#
+# The memory-saving backward reconstructs the pre-activation from the stored
+# OUTPUT, so only output-invertible activations qualify:
+#   leaky_relu:  y<0 -> z = y/slope,   dz_eff = dz*slope
+#   elu:         y<0 -> z = log1p(y),  dz_eff = dz*(y+1)   (elu' = e^z = y+1)
+#   none:        identity
+# All three match the reference extension's menu (inplace_abn/bn.py:23).
+
+
+def _act_apply(z, act: str, slope: float):
+    if act == "elu":
+        # exp/log spelled without expm1/log1p: Mosaic has no lowering for
+        # those primitives; f32 kernel compute keeps the error acceptable
+        return jnp.where(z >= 0, z, jnp.exp(jnp.minimum(z, 0.0)) - 1.0)
+    if act == "none":
+        return z
+    return jnp.where(z >= 0, z, z * slope)
+
+
+def _act_invert(y, dz, act: str, slope: float):
+    """(pre-activation z, effective grad dz_eff) recovered from output y."""
+    if act == "elu":
+        z = jnp.where(y >= 0, y, jnp.log(jnp.maximum(1.0 + y, 1e-12)))
+        dz_eff = jnp.where(y >= 0, dz, dz * (y + 1.0))
+        return z, dz_eff
+    if act == "none":
+        return y, dz
+    z = jnp.where(y >= 0, y, y / slope)
+    dz_eff = jnp.where(y >= 0, dz, dz * slope)
+    return z, dz_eff
+
+
 # ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(x_ref, mul_ref, add_ref, y_ref, *, slope: float):
+def _fwd_kernel(x_ref, mul_ref, add_ref, y_ref, *, act: str, slope: float):
     # compute (and compare) in f32: Mosaic has no bf16 vector compare on
     # this target ("Target does not support this comparison"); casts stay
     # in registers, VMEM traffic remains in the storage dtype
     y = (x_ref[:].astype(jnp.float32) * mul_ref[:].astype(jnp.float32)
          + add_ref[:].astype(jnp.float32))
-    y_ref[:] = jnp.where(y >= 0, y, y * slope).astype(y_ref.dtype)
+    y_ref[:] = _act_apply(y, act, slope).astype(y_ref.dtype)
 
 
-def _abn_rows(x2d: Array, mul: Array, add: Array, slope: float) -> Array:
+def _abn_rows(x2d: Array, mul: Array, add: Array, slope: float,
+              act: str = "leaky_relu") -> Array:
     r, c = x2d.shape
     tile = min(_ROW_TILE, r)
     grid = (pl.cdiv(r, tile),)
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, slope=slope),
+        functools.partial(_fwd_kernel, act=act, slope=slope),
         out_shape=jax.ShapeDtypeStruct((r, c), x2d.dtype),
         grid=grid,
         in_specs=[
@@ -81,14 +115,15 @@ def _abn_rows(x2d: Array, mul: Array, add: Array, slope: float) -> Array:
 
 def fused_abn_infer(x: Array, mean: Array, var: Array, scale: Array,
                     bias: Array, eps: float = 1e-5,
-                    slope: float = DEFAULT_SLOPE) -> Array:
-    """Inference-mode fused BN + leaky-ReLU over an NHWC (or any
-    channels-last) tensor."""
+                    slope: float = DEFAULT_SLOPE,
+                    act: str = "leaky_relu") -> Array:
+    """Inference-mode fused BN + activation (leaky_relu/elu/none) over an
+    NHWC (or any channels-last) tensor."""
     c = x.shape[-1]
     inv = jax.lax.rsqrt(var.astype(jnp.float32) + eps)
     mul = (inv * scale).astype(x.dtype)
     add = (bias - mean * inv * scale).astype(x.dtype)
-    y = _abn_rows(x.reshape(-1, c), mul, add, slope)
+    y = _abn_rows(x.reshape(-1, c), mul, add, slope, act)
     return y.reshape(x.shape)
 
 
@@ -97,7 +132,8 @@ def fused_abn_infer(x: Array, mean: Array, var: Array, scale: Array,
 # ---------------------------------------------------------------------------
 
 
-def _sums_kernel(y_ref, dz_ref, gb_ref, edz_ref, eydz_ref, *, slope: float):
+def _sums_kernel(y_ref, dz_ref, gb_ref, edz_ref, eydz_ref, *, act: str,
+                 slope: float):
     """Accumulate per-channel edz / eydz over row tiles
     (edz_eydz_kernel, inplace_abn_cuda.cu:174-220)."""
     i = pl.program_id(0)
@@ -106,9 +142,8 @@ def _sums_kernel(y_ref, dz_ref, gb_ref, edz_ref, eydz_ref, *, slope: float):
     dz = dz_ref[:].astype(jnp.float32)
     gamma = gb_ref[0:1, :].astype(jnp.float32)
     beta = gb_ref[1:2, :].astype(jnp.float32)
-    # invert activation: pre-activation z = y/slope where y < 0
-    z = jnp.where(y >= 0, y, y / slope)
-    dz_eff = jnp.where(y >= 0, dz, dz * slope)
+    # invert activation from the stored output
+    z, dz_eff = _act_invert(y, dz, act, slope)
     # normalized pre-activation: (z - beta) / gamma
     y_norm = (z - beta) / gamma
 
@@ -124,8 +159,8 @@ def _sums_kernel(y_ref, dz_ref, gb_ref, edz_ref, eydz_ref, *, slope: float):
     eydz_ref[:] += part_eydz
 
 
-def _dx_kernel(y_ref, dz_ref, gb_ref, stat_ref, dx_ref, *, slope: float,
-               inv_n: float):
+def _dx_kernel(y_ref, dz_ref, gb_ref, stat_ref, dx_ref, *, act: str,
+               slope: float, inv_n: float):
     """dx = (dz - edz/N - y_norm * eydz/N) * gamma * rsqrt(var+eps)
     (backward_kernel, inplace_abn_cuda.cu:226-295)."""
     y = y_ref[:].astype(jnp.float32)
@@ -136,15 +171,14 @@ def _dx_kernel(y_ref, dz_ref, gb_ref, stat_ref, dx_ref, *, slope: float,
     edz = stat_ref[1:2, :].astype(jnp.float32)
     eydz = stat_ref[2:3, :].astype(jnp.float32)
 
-    z = jnp.where(y >= 0, y, y / slope)
-    dz_eff = jnp.where(y >= 0, dz, dz * slope)
+    z, dz_eff = _act_invert(y, dz, act, slope)
     y_norm = (z - beta) / gamma
     dx_ref[:] = ((dz_eff - edz * inv_n - y_norm * eydz * inv_n)
                  * mul).astype(dx_ref.dtype)
 
 
 def _abn_bwd_rows(y2d: Array, dz2d: Array, gamma: Array, beta: Array,
-                  inv_std: Array, slope: float
+                  inv_std: Array, slope: float, act: str = "leaky_relu"
                   ) -> Tuple[Array, Array, Array]:
     r, c = y2d.shape
     tile = min(_ROW_TILE, r)
@@ -152,7 +186,7 @@ def _abn_bwd_rows(y2d: Array, dz2d: Array, gamma: Array, beta: Array,
     gb = jnp.stack([gamma, beta]).astype(jnp.float32)  # (2, C)
 
     edz, eydz = pl.pallas_call(
-        functools.partial(_sums_kernel, slope=slope),
+        functools.partial(_sums_kernel, act=act, slope=slope),
         out_shape=(
             jax.ShapeDtypeStruct((1, c), jnp.float32),
             jax.ShapeDtypeStruct((1, c), jnp.float32),
@@ -174,7 +208,7 @@ def _abn_bwd_rows(y2d: Array, dz2d: Array, gamma: Array, beta: Array,
         [(gamma * inv_std)[None, :].astype(jnp.float32), edz, eydz], axis=0)
 
     dx = pl.pallas_call(
-        functools.partial(_dx_kernel, slope=slope, inv_n=1.0 / r),
+        functools.partial(_dx_kernel, act=act, slope=slope, inv_n=1.0 / r),
         out_shape=jax.ShapeDtypeStruct((r, c), y2d.dtype),
         grid=grid,
         in_specs=[
@@ -195,16 +229,16 @@ def _abn_bwd_rows(y2d: Array, dz2d: Array, gamma: Array, beta: Array,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def fused_abn(x: Array, scale: Array, bias: Array, eps: float = 1e-5,
-              slope: float = DEFAULT_SLOPE) -> Array:
-    """Training-mode fused BN(batch stats) + leaky-ReLU with the
-    InPlace-ABN memory-saving backward (saves y, not x)."""
-    y, _ = _fused_abn_fwd(x, scale, bias, eps, slope)
+              slope: float = DEFAULT_SLOPE, act: str = "leaky_relu") -> Array:
+    """Training-mode fused BN(batch stats) + activation (leaky_relu/elu/
+    none) with the InPlace-ABN memory-saving backward (saves y, not x)."""
+    y, _ = _fused_abn_fwd(x, scale, bias, eps, slope, act)
     return y
 
 
-def _fused_abn_fwd(x, scale, bias, eps, slope):
+def _fused_abn_fwd(x, scale, bias, eps, slope, act):
     c = x.shape[-1]
     x2d = x.reshape(-1, c)
     xf = x2d.astype(jnp.float32)
@@ -213,18 +247,18 @@ def _fused_abn_fwd(x, scale, bias, eps, slope):
     inv_std = jax.lax.rsqrt(var + eps)
     mul = (inv_std * scale).astype(x.dtype)
     add = (bias - mean * inv_std * scale).astype(x.dtype)
-    y2d = _abn_rows(x2d, mul, add, slope)
+    y2d = _abn_rows(x2d, mul, add, slope, act)
     y = y2d.reshape(x.shape)
     # residuals: only y + per-channel vectors — x is NOT saved
     return y, (y2d, scale, bias, inv_std, x.shape)
 
 
-def _fused_abn_bwd(eps, slope, res, g):
+def _fused_abn_bwd(eps, slope, act, res, g):
     y2d, scale, bias, inv_std, x_shape = res
     c = y2d.shape[-1]
     dz2d = g.reshape(-1, c)
     dx2d, edz, eydz = _abn_bwd_rows(
-        y2d, dz2d, scale, bias, inv_std, slope)
+        y2d, dz2d, scale, bias, inv_std, slope, act)
     # dgamma = eydz, dbeta = edz (inplace_abn_cpu.cpp:74-90)
     return dx2d.reshape(x_shape), eydz.astype(scale.dtype), \
         edz.astype(bias.dtype)
