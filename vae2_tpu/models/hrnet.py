@@ -86,11 +86,18 @@ def stage_specs_from_extra(extra) -> Tuple[StageSpec, StageSpec, StageSpec, Stag
 
 
 def _conv(features: int, kernel: int, stride: int, dtype, name: str) -> nn.Conv:
+    # torch-style symmetric padding ((k-1)//2 both sides, reference
+    # conv3x3/enc_hrnet.py:27-30). For stride 1 this equals SAME; for the
+    # stride-2 downsample convs it does NOT: SAME pads (0, 1) and samples
+    # even rows, torch pads (1, 1) and samples odd-1 rows — a one-pixel
+    # shift that breaks weight-import parity (caught by
+    # tests/test_torch_model_parity.py).
+    p = (kernel - 1) // 2
     return nn.Conv(
         features,
         (kernel, kernel),
         strides=(stride, stride),
-        padding="SAME",
+        padding=((p, p), (p, p)),
         use_bias=False,
         dtype=dtype,
         param_dtype=jnp.float32,
