@@ -12,6 +12,8 @@ from vae2_tpu.models.hrnet import (
 from vae2_tpu.models import vae2 as fam
 from vae2_tpu.config import get_default_config
 
+pytestmark = pytest.mark.slow  # heavyweight jit compiles; excluded from the cold-container smoke tier
+
 TINY_SPECS = (
     StageSpec(1, 1, (1,), (8,), "BOTTLENECK"),
     StageSpec(1, 2, (1, 1), (4, 8), "BASIC"),

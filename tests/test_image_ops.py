@@ -9,6 +9,8 @@ import pytest
 
 from vae2_tpu.ops.image import resize_bilinear
 
+pytestmark = pytest.mark.slow  # heavyweight jit compiles; excluded from the cold-container smoke tier
+
 
 def _torch_bilinear(x_nhwc, h, w):
     import torch

@@ -10,6 +10,8 @@ import jax.numpy as jnp
 from vae2_tpu.models.inception import (init_inception_params,
                                        inception_forward)
 
+pytestmark = pytest.mark.slow  # heavyweight jit compiles; excluded from the cold-container smoke tier
+
 
 @pytest.fixture(scope="module")
 def params():

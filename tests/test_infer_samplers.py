@@ -10,6 +10,8 @@ import pytest
 from vae2_tpu.core.builder import build_system
 from vae2_tpu.core.infer_loop import make_momentum_sampler, make_prior_sampler
 
+pytestmark = pytest.mark.slow  # heavyweight jit compiles; excluded from the cold-container smoke tier
+
 
 def _tiny_cfg(hd_z=True):
     from vae2_tpu.config import get_default_config

@@ -4,6 +4,9 @@ import os
 import re
 import subprocess
 import sys
+import pytest
+
+pytestmark = pytest.mark.slow  # heavyweight jit compiles; excluded from the cold-container smoke tier
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

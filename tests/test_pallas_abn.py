@@ -7,6 +7,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from vae2_tpu.ops.pallas.abn import fused_abn, fused_abn_infer
+import pytest
+
+pytestmark = pytest.mark.slow  # heavyweight jit compiles; excluded from the cold-container smoke tier
 
 SLOPE = 0.01
 

@@ -8,6 +8,9 @@ import jax.numpy as jnp
 from tests.test_hrnet import _tiny_config
 from vae2_tpu.core.builder import build_system
 from vae2_tpu.utils import torch_import as ti
+import pytest
+
+pytestmark = pytest.mark.slow  # heavyweight jit compiles; excluded from the cold-container smoke tier
 
 
 def _plain_hrnet_sd_from(state):

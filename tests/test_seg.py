@@ -17,6 +17,8 @@ from vae2_tpu.models.seg_hrnet import get_seg_model
 from vae2_tpu.utils.metric import (get_confusion_matrix, miou_from_confusion,
                                    scores)
 
+pytestmark = pytest.mark.slow  # heavyweight jit compiles; excluded from the cold-container smoke tier
+
 
 def _seg_config():
     cfg = get_default_config()

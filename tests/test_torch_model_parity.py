@@ -22,6 +22,8 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.slow  # heavyweight jit compiles; excluded from the cold-container smoke tier
+
 torch = pytest.importorskip("torch")
 
 REF_LIB = "/root/reference/lib"

@@ -19,6 +19,8 @@ import jax.numpy as jnp  # noqa: E402
 
 from vae2_tpu.models import inception  # noqa: E402
 
+pytestmark = pytest.mark.slow  # heavyweight jit compiles; excluded from the cold-container smoke tier
+
 ATOL = 2e-5
 
 

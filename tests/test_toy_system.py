@@ -11,6 +11,8 @@ from vae2_tpu.core.builder import build_system
 from vae2_tpu.data.toy import ToyLoader, gen_toy_batch, make_toy_alphas
 from vae2_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 
+pytestmark = pytest.mark.slow  # heavyweight jit compiles; excluded from the cold-container smoke tier
+
 
 def _toy_config(**overrides):
     cfg = get_default_config()
