@@ -110,3 +110,23 @@ def test_grayscale_and_palette_png(available):
     out = native.decode_frame(buf.getvalue(), 16, 16)
     ref = np.asarray(pal.convert("RGB"), np.uint8)
     np.testing.assert_array_equal(out, ref)
+
+
+def test_concurrent_first_load_no_race(tmp_path, monkeypatch):
+    """8 threads hitting a cold cache must all succeed (or all fall back) —
+    regression: the first flagship run crashed when 4 loader threads built
+    to one shared .tmp and the losers' os.replace raised FileNotFoundError."""
+    import concurrent.futures as cf
+    import importlib
+
+    from vae2_tpu import native as nat
+
+    monkeypatch.setenv("VAE2_NATIVE_CACHE", str(tmp_path / "cold_cache"))
+    importlib.reload(nat)  # reset _lib/_load state for a genuine first load
+    data = _png_bytes(np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3))
+    with cf.ThreadPoolExecutor(8) as pool:
+        outs = list(pool.map(lambda _: nat.decode_frame(data, 4, 4),
+                             range(8)))
+    # never an exception; all threads agree on availability
+    assert all((o is None) == (outs[0] is None) for o in outs)
+    importlib.reload(nat)  # restore default cache for other tests

@@ -16,6 +16,7 @@ import ctypes
 import hashlib
 import os
 import subprocess
+import threading
 from typing import List, Optional
 
 import numpy as np
@@ -25,6 +26,7 @@ _SRC = os.path.join(_DIR, "clip_decoder.cpp")
 
 _lib: Optional[ctypes.CDLL] = None
 AVAILABLE = False
+_load_lock = threading.Lock()
 
 
 def _build() -> Optional[str]:
@@ -36,20 +38,27 @@ def _build() -> Optional[str]:
     so_path = os.path.join(cache_dir, f"clip_decoder_{digest}.so")
     if os.path.isfile(so_path):
         return so_path
+    # unique tmp per process: concurrent builders (other processes sharing
+    # the cache) must not clobber each other's output mid-write
+    tmp_path = f"{so_path}.{os.getpid()}.tmp"
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17", _SRC,
-        "-o", so_path + ".tmp", "-lpng", "-ljpeg", "-lz", "-lpthread",
+        "-o", tmp_path, "-lpng", "-ljpeg", "-lz", "-lpthread",
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=180)
-    except (subprocess.SubprocessError, FileNotFoundError):
+    except (subprocess.SubprocessError, FileNotFoundError, OSError):
         # retry without -march=native (non-x86 or older toolchains)
         try:
             subprocess.run([c for c in cmd if c != "-march=native"],
                            check=True, capture_output=True, timeout=180)
-        except (subprocess.SubprocessError, FileNotFoundError):
+        except (subprocess.SubprocessError, FileNotFoundError, OSError):
+            return so_path if os.path.isfile(so_path) else None
+    try:
+        os.replace(tmp_path, so_path)
+    except OSError:
+        if not os.path.isfile(so_path):  # lost a race AND no winner: give up
             return None
-    os.replace(so_path + ".tmp", so_path)
     return so_path
 
 
@@ -57,11 +66,22 @@ def _load() -> bool:
     global _lib, AVAILABLE
     if _lib is not None:
         return AVAILABLE
+    with _load_lock:
+        return _load_locked()
+
+
+def _load_locked() -> bool:
+    global _lib, AVAILABLE
+    if _lib is not None:  # another thread finished while we waited
+        return AVAILABLE
     if os.environ.get("VAE2_NO_NATIVE") == "1":
         AVAILABLE = False
         _lib = ctypes.CDLL(None)  # sentinel
         return False
-    so = _build()
+    try:
+        so = _build()
+    except OSError:
+        so = None
     if so is None:
         AVAILABLE = False
         _lib = ctypes.CDLL(None)
