@@ -44,6 +44,11 @@ def main():
     from vae2_tpu.core.infer_loop import make_prior_sampler
 
     cfg = get_default_config()  # flagship HRNet-W18-small-v2, hd_z z=32
+    # experiment hook: VAE2_BENCH_OPTS="TPU.HEAD_DATAFLOW presum ..." applies
+    # yacs-style KEY VALUE overrides without touching the shipping defaults
+    opts = os.environ.get("VAE2_BENCH_OPTS", "").split()
+    if opts:
+        cfg.merge_from_list(opts)
     system = build_system(cfg)
 
     rng = jax.random.PRNGKey(0)

@@ -42,6 +42,8 @@ def parse_args():
                     help="jax.profiler trace of 2 post-timing steps")
     ap.add_argument("--height", default=128, type=int)
     ap.add_argument("--width", default=256, type=int)
+    ap.add_argument("opts", nargs="*", default=[],
+                    help="yacs-style KEY VALUE config overrides")
     return ap.parse_args()
 
 
@@ -61,6 +63,7 @@ def main():
     cfg.TPU.FUSED_ABN = args.fused_abn
     cfg.TPU.MULTISCALE_HEAD = bool(args.multiscale_head)
     cfg.TPU.ADAM_MOMENT_DTYPE = args.adam_moments
+    cfg.merge_from_list(args.opts)
     system = build_system(cfg)
 
     b, h, w = args.batch, args.height, args.width
@@ -140,6 +143,7 @@ def main():
             "multiscale_head": bool(args.multiscale_head),
             "adam_moments": args.adam_moments,
             "hw": [args.height, args.width],
+            "opts": args.opts,
         },
         "steps_per_sec": round(1.0 / sec, 3),
         "clips_per_sec_per_chip": round(b / sec, 2),

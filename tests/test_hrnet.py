@@ -239,16 +239,26 @@ def test_multiscale_head_exact_vs_concat_path():
     np.testing.assert_allclose(np.asarray(out_ms), np.asarray(out_cat),
                                rtol=1e-5, atol=1e-5)
 
+    # presum feed: pre-upsampled branch list (TPU.HEAD_DATAFLOW=presum)
+    from vae2_tpu.models.hrnet import upsampled_branches
 
-def test_encdec_multiscale_head_matches_reference_dataflow():
-    """Full VAE2EncDec forward: multiscale_head True vs False with shared
-    params must agree (f32)."""
+    out_ps, _ = head.apply(params, upsampled_branches(feats), True,
+                           mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(out_ps), np.asarray(out_cat),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("dataflow", ["multiscale", "presum"])
+def test_encdec_head_dataflows_match_reference_dataflow(dataflow):
+    """Full VAE2EncDec forward: every TPU.HEAD_DATAFLOW rewrite must agree
+    with the reference conv-of-concat dataflow ('concat') under shared
+    params (f32), with an identical parameter tree (torch import compat)."""
     cfg = _tiny_config()
     specs = stage_specs_from_extra(cfg.MODEL.EXTRA)
     kw = dict(specs=specs, clip_length=3, num_classes=3, z_dim=4,
               dtype=jnp.float32)
-    m_fast = fam.VAE2EncDec(multiscale_head=True, **kw)
-    m_ref = fam.VAE2EncDec(multiscale_head=False, **kw)
+    m_fast = fam.VAE2EncDec(head_dataflow=dataflow, **kw)
+    m_ref = fam.VAE2EncDec(head_dataflow="concat", **kw)
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 32, 9), jnp.float32)
     z = jax.random.normal(jax.random.PRNGKey(2), (2, 4), jnp.float32)
     rngs = {"params": jax.random.PRNGKey(3), "sample": jax.random.PRNGKey(4)}

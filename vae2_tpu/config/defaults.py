@@ -179,6 +179,11 @@ def get_default_config() -> ConfigNode:
     # for memory-light regimes (e.g. small-batch training — A/B via
     # bench_train.py --multiscale-head).
     cfg.TPU.MULTISCALE_HEAD = False
+    # Head dataflow: 'concat' (reference, conv1-of-concat), 'presum'
+    # (per-branch conv1 + sum on pre-upsampled branches — exact rewrite that
+    # skips the lane-misaligned 270-ch concat), 'multiscale' (conv before
+    # upsample; loses at scale, kept as a knob). MULTISCALE_HEAD=True wins.
+    cfg.TPU.HEAD_DATAFLOW = "concat"
     cfg.TPU.INFER_SAMPLE_BATCH = 32  # prior samples folded per device batch
     cfg.TPU.PROFILE_DIR = ""  # non-empty: jax.profiler trace of a step window
     cfg.TPU.PROFILE_STEPS = 5

@@ -422,12 +422,22 @@ class HRNetTrunk(nn.Module):
         )(xs, code_maps, train)
 
 
+def upsampled_branches(xs: Sequence[Array]) -> List[Array]:
+    """Upsample all branches to branch-0 resolution, WITHOUT concatenating.
+
+    Feeding this list to :class:`ConvHead` computes exactly
+    ``conv1(concat(parts))`` as a sum of per-branch 1x1 convs — the
+    {18,36,72,144}-channel concat offsets are never 128-lane-aligned, so the
+    concat costs lane-shift layout copies plus a full-res materialization
+    that this dataflow skips (``TPU.HEAD_DATAFLOW=presum``)."""
+    h, w = xs[0].shape[1], xs[0].shape[2]
+    return [xs[0]] + [resize_bilinear(x, h, w) for x in xs[1:]]
+
+
 def concat_upsampled(xs: Sequence[Array]) -> Array:
     """Upsample all branches to branch-0 resolution and channel-concat
     (enc_hrnet.py:833-839)."""
-    h, w = xs[0].shape[1], xs[0].shape[2]
-    parts = [xs[0]] + [resize_bilinear(x, h, w) for x in xs[1:]]
-    return jnp.concatenate(parts, axis=-1)
+    return jnp.concatenate(upsampled_branches(xs), axis=-1)
 
 
 class ConvHead(nn.Module):
@@ -436,11 +446,16 @@ class ConvHead(nn.Module):
     1136-1151).
 
     Accepts either the full-resolution concat (reference dataflow:
-    ``conv1(concat(upsample(x_b)))``) or the raw multi-resolution branch list.
-    For a list it commutes the (linear, channelwise) 1x1 conv *before* the
-    (linear, pixelwise) bilinear upsample — mathematically identical, but the
-    270-channel full-resolution concat is never materialized and the conv's
-    FLOPs drop ~8x (branches 1..3 convolve at 1/4, 1/16, 1/64 the pixels).
+    ``conv1(concat(upsample(x_b)))``) or a branch list. For a list, conv1 is
+    applied per branch (kernel sliced on fan-in) and the results are summed —
+    mathematically identical to conv-of-concat. Two list regimes:
+
+    - raw multi-resolution branches (``TPU.MULTISCALE_HEAD``): the 1x1 conv
+      commutes *before* the bilinear upsample, ~8x fewer head FLOPs;
+    - pre-upsampled full-res branches (``TPU.HEAD_DATAFLOW=presum``, see
+      :func:`upsampled_branches`): the per-branch resize no-ops and only the
+      lane-misaligned 270-channel concat is skipped.
+
     The parameter tree is unchanged: one (1,1,C,C) ``conv1`` kernel, sliced
     per branch, so torch checkpoint import is unaffected.
     """

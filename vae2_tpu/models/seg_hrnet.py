@@ -16,8 +16,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .hrnet import ConvHead, HRNetTrunk, StageSpec, concat_upsampled, \
-    stage_specs_from_extra
+from .hrnet import ConvHead, HRNetTrunk, StageSpec, stage_specs_from_extra
+from .vae2 import _head_dataflow, _head_input
 
 Array = jax.Array
 
@@ -27,7 +27,7 @@ class SegHRNet(nn.Module):
     num_classes: int = 19
     final_kernel: int = 1
     dtype: Any = jnp.bfloat16
-    multiscale_head: bool = True
+    head_dataflow: str = "concat"
 
     @nn.compact
     def __call__(self, x: Array, train: bool = True) -> Array:
@@ -35,7 +35,7 @@ class SegHRNet(nn.Module):
             specs=self.specs, stem_stride=2, z_mode="none",
             dtype=self.dtype, name="trunk",
         )(x, None, train)
-        y = feats if self.multiscale_head else concat_upsampled(feats)
+        y = _head_input(feats, self.head_dataflow)
         logits = ConvHead(self.num_classes, self.final_kernel, self.dtype,
                           name="last_layer")(y, train)
         return logits.astype(jnp.float32)  # (B, H/4, W/4, num_classes)
@@ -52,5 +52,5 @@ def get_seg_model(cfg) -> SegHRNet:
         num_classes=cfg.DATASET.NUM_CLASSES,
         final_kernel=int(extra.get("FINAL_CONV_KERNEL", 1)),
         dtype=dtype,
-        multiscale_head=bool(cfg.TPU.get("MULTISCALE_HEAD", False)),
+        head_dataflow=_head_dataflow(cfg),
     )

@@ -26,7 +26,19 @@ from .hrnet import (
     StageSpec,
     concat_upsampled,
     stage_specs_from_extra,
+    upsampled_branches,
 )
+
+
+def _head_input(feats, dataflow: str):
+    """Resolve TPU.HEAD_DATAFLOW: 'concat' is the reference dataflow
+    (enc_hrnet.py:833-839); 'presum' and 'multiscale' are exact rewrites —
+    see ConvHead's docstring for the math and the lane-alignment rationale."""
+    if dataflow == "multiscale":
+        return feats
+    if dataflow == "presum":
+        return upsampled_branches(feats)
+    return concat_upsampled(feats)
 from ..ops.norm import BatchNormAct
 
 Array = jax.Array
@@ -60,7 +72,7 @@ class _TrunkWithHeads(nn.Module):
     z_dim: int
     dtype: Any
     remat: str = "none"
-    multiscale_head: bool = True
+    head_dataflow: str = "concat"
 
     @nn.compact
     def __call__(self, x, z=None, train: bool = True,
@@ -77,7 +89,7 @@ class _TrunkWithHeads(nn.Module):
         )(x, z, train, mode)
         if mode == "prefix":
             return feats
-        y = feats if self.multiscale_head else concat_upsampled(feats)
+        y = _head_input(feats, self.head_dataflow)
         frames = [
             ConvHead(self.num_classes, self.final_kernel, self.dtype,
                      name=f"last_layer_{i + 1}")(y, train)
@@ -99,7 +111,7 @@ class VAE2EncDec(nn.Module):
     z_dim: int = 32
     dtype: Any = jnp.bfloat16
     remat: str = "none"
-    multiscale_head: bool = True
+    head_dataflow: str = "concat"
 
     def setup(self):
         det = self.baseline_mode == "DETERMINISTIC"
@@ -109,7 +121,7 @@ class VAE2EncDec(nn.Module):
             specs=self.specs, num_heads=self.clip_length,
             num_classes=self.num_classes, final_kernel=self.final_kernel,
             z_dim=self.z_dim, dtype=self.dtype, remat=self.remat,
-            multiscale_head=self.multiscale_head,
+            head_dataflow=self.head_dataflow,
         )
         self.encoder = _TrunkWithHeads(z_mode=enc_z, name="encoder", **head_kw)
         self.dec_future = _TrunkWithHeads(z_mode=dec_z, name="dec_future", **head_kw)
@@ -201,7 +213,7 @@ class VAE2Discriminator(nn.Module):
     final_kernel: int = 1
     dtype: Any = jnp.bfloat16
     remat: str = "none"
-    multiscale_head: bool = True
+    head_dataflow: str = "concat"
 
     @nn.compact
     def __call__(self, x: Array, train: bool = True) -> Array:
@@ -210,7 +222,7 @@ class VAE2Discriminator(nn.Module):
             specs=self.specs, stem_stride=1, z_mode="none",
             dtype=self.dtype, name="trunk", **trunk_kw,
         )(x, None, train, "full")
-        y = feats if self.multiscale_head else concat_upsampled(feats)
+        y = _head_input(feats, self.head_dataflow)
         return ConvHead(1, self.final_kernel, self.dtype,
                         name="last_layer")(y, train).astype(jnp.float32)
 
@@ -235,6 +247,18 @@ def _remat(config) -> str:
     return "trunk" if v else "none"
 
 
+def _head_dataflow(config) -> str:
+    """Resolve the head dataflow from config. TPU.MULTISCALE_HEAD=True (the
+    legacy knob) wins; otherwise TPU.HEAD_DATAFLOW ('concat' | 'presum')."""
+    if bool(config.TPU.get("MULTISCALE_HEAD", False)):
+        return "multiscale"
+    v = str(config.TPU.get("HEAD_DATAFLOW", "concat"))
+    if v not in ("concat", "presum", "multiscale"):
+        raise ValueError(
+            f"TPU.HEAD_DATAFLOW must be concat|presum|multiscale, got {v!r}")
+    return v
+
+
 def get_encdec_model(config) -> VAE2EncDec:
     extra, specs, dtype = _common(config)
     return VAE2EncDec(
@@ -247,7 +271,7 @@ def get_encdec_model(config) -> VAE2EncDec:
         z_dim=int(extra.get("Z_DIM", 32)),
         dtype=dtype,
         remat=_remat(config),
-        multiscale_head=bool(config.TPU.get("MULTISCALE_HEAD", False)),
+        head_dataflow=_head_dataflow(config),
     )
 
 
@@ -267,7 +291,7 @@ def get_D_sequence_model(config) -> VAE2Discriminator:
     return VAE2Discriminator(
         specs=specs, final_kernel=int(extra.get("FINAL_CONV_KERNEL", 1)),
         dtype=dtype, remat=_remat(config),
-        multiscale_head=bool(config.TPU.get("MULTISCALE_HEAD", False)))
+        head_dataflow=_head_dataflow(config))
 
 
 def get_D_frame_model(config) -> VAE2Discriminator:
