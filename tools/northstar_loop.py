@@ -40,6 +40,22 @@ def run(cmd, **kw):
     return proc
 
 
+def run_is(root, pattern):
+    """Inception Score of the generated frames (random-init inception
+    fallback in this container — the key carries the tag, like FID's)."""
+    proc = subprocess.run(
+        [sys.executable, os.path.join(TOOLS, "inception_score.py"),
+         "--path", root, "--pattern", pattern, "--batch-size", "16",
+         "--splits", "2"],
+        cwd=REPO, capture_output=True, text=True)
+    if proc.returncode != 0:
+        raise SystemExit(f"inception_score failed: {proc.stderr[-2000:]}")
+    for line in proc.stdout.splitlines():
+        if line.startswith("IS:"):
+            return float(line.split()[1])
+    raise SystemExit(f"no IS line in output:\n{proc.stdout[-2000:]}")
+
+
 def run_fid(gen_root, real_root, gen_pattern, real_pattern):
     proc = subprocess.run(
         [sys.executable, os.path.join(TOOLS, "fid_score.py"),
@@ -141,6 +157,7 @@ def main():
              "--points", f"1,{args.num_samples}", "--out", best_json],
             stdout=subprocess.DEVNULL)
         fid = run_fid(vis, vis, "*/x2tpredict/*.png", "*/x2t_*.png")
+        is_mean = run_is(vis, "x2tpredict/*.png")
         row = {
             "epoch": epoch,
             "x2_l1": meanvar["x2t"]["1_reconloss"][0],
@@ -148,6 +165,7 @@ def main():
             "x2_psnr": meanvar["x2t"]["1_psnrloss"][0],
             "x3_l1": meanvar["x3t"]["1_reconloss"][0],
             "fid_x2_random_inception": fid,
+            "is_x2_random_inception": is_mean,
         }
         trajectory.append(row)
         print(json.dumps(row), flush=True)
