@@ -27,6 +27,8 @@ def parse_args():
     ap.add_argument("--trace-dir", default="/tmp/vae2_profile")
     ap.add_argument("--parse-only", action="store_true",
                     help="skip the run; just summarize an existing trace")
+    ap.add_argument("opts", nargs="*", default=[],
+                    help="yacs-style KEY VALUE config overrides")
     return ap.parse_args()
 
 
@@ -39,6 +41,7 @@ def run_trace(args):
     from vae2_tpu.core.infer_loop import make_prior_sampler
 
     cfg = get_default_config()
+    cfg.merge_from_list(args.opts)
     system = build_system(cfg)
     h, w = 128, 256
     batch = {k: jnp.zeros((1, h, w, 9), jnp.float32)
