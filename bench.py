@@ -64,10 +64,21 @@ def main():
         np.random.RandomState(1).randint(0, 255, (1, H, W, 9), np.uint8))
 
     # compile + warmup; on HBM OOM retry with a smaller sample chunk so the
-    # bench always emits its JSON line
+    # bench always emits its JSON line. A sidecar file remembers the last
+    # chunk that compiled+fit, so a driver re-run (or a timeout mid-ladder)
+    # starts at the known-good size instead of recompiling the whole ladder.
     global CHUNK
+    sidecar = os.path.expanduser("~/.cache/vae2_tpu_xla/bench_last_chunk")
+    ladder = [CHUNK]
+    if "VAE2_BENCH_CHUNK" not in os.environ:
+        try:
+            with open(sidecar) as f:
+                ladder.insert(0, int(f.read().strip()))
+        except (OSError, ValueError):
+            pass
+    ladder += [256, 192, 128, 96, 64, 32]
     compiled = None
-    for chunk in dict.fromkeys((CHUNK, 256, 192, 128, 96, 64, 32)):
+    for chunk in dict.fromkeys(ladder):
         sampler = make_prior_sampler(system, chunk=chunk, height=H, width=W)
         try:
             compiled = sampler.lower(state, xt, x2t, rng).compile()
@@ -80,6 +91,13 @@ def main():
             print(f"# chunk {chunk} OOMs HBM; retrying smaller", flush=True)
     if compiled is None:
         raise SystemExit("all chunk sizes OOM")
+    if not os.environ.get("VAE2_BENCH_OPTS"):  # only record default-config runs
+        try:
+            os.makedirs(os.path.dirname(sidecar), exist_ok=True)
+            with open(sidecar, "w") as f:
+                f.write(str(CHUNK))
+        except OSError:
+            pass
     flops = None
     try:
         ca = compiled.cost_analysis()
@@ -126,14 +144,14 @@ def main():
 
 def _also_bench_train():
     """Refresh the driver-visible TRAINING metric artifact (BENCH_train.json)
-    with one bench_train.py run of the shipping flagship config. Runs in a
-    subprocess after the primary JSON line so the stdout contract (exactly
-    one line) and the inference measurement are never at risk. Opt out with
-    VAE2_BENCH_TRAIN=0."""
+    with one bench_train.py run of the shipping flagship config. OPT-IN via
+    VAE2_BENCH_TRAIN=1: the leg costs a fresh ~30-min XLA compile, which blew
+    the driver's bench time budget in round 3 (BENCH_r03 rc=124) when it ran
+    by default. BENCH_train.json is generated out-of-band each round instead."""
     import subprocess
     import sys
 
-    if os.environ.get("VAE2_BENCH_TRAIN", "1") != "1":
+    if os.environ.get("VAE2_BENCH_TRAIN", "0") != "1":
         return
     repo = os.path.dirname(os.path.abspath(__file__))
     try:

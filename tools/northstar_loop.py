@@ -42,18 +42,26 @@ def run(cmd, **kw):
 
 def run_is(root, pattern):
     """Inception Score of the generated frames (random-init inception
-    fallback in this container — the key carries the tag, like FID's)."""
-    proc = subprocess.run(
-        [sys.executable, os.path.join(TOOLS, "inception_score.py"),
-         "--path", root, "--pattern", pattern, "--batch-size", "16",
-         "--splits", "2"],
-        cwd=REPO, capture_output=True, text=True)
-    if proc.returncode != 0:
-        raise SystemExit(f"inception_score failed: {proc.stderr[-2000:]}")
-    for line in proc.stdout.splitlines():
-        if line.startswith("IS:"):
-            return float(line.split()[1])
-    raise SystemExit(f"no IS line in output:\n{proc.stdout[-2000:]}")
+    fallback in this container — the key carries the tag, like FID's).
+
+    IS is an auxiliary metric: any failure (e.g. --num-samples below the
+    IS batch size, a transient error) records None rather than aborting
+    the multi-hour trajectory loop."""
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.join(TOOLS, "inception_score.py"),
+             "--path", root, "--pattern", pattern, "--batch-size", "16",
+             "--splits", "2"],
+            cwd=REPO, capture_output=True, text=True)
+        if proc.returncode != 0:
+            raise RuntimeError(f"rc={proc.returncode}: {proc.stderr[-2000:]}")
+        for line in proc.stdout.splitlines():
+            if line.startswith("IS:"):
+                return float(line.split()[1])
+        raise RuntimeError(f"no IS line in output:\n{proc.stdout[-2000:]}")
+    except Exception as e:  # noqa: BLE001
+        print(f"# inception_score skipped for this row: {e}", flush=True)
+        return None
 
 
 def run_fid(gen_root, real_root, gen_pattern, real_pattern):

@@ -30,6 +30,11 @@ from .hrnet import (
 )
 
 
+from ..ops.norm import BatchNormAct
+
+Array = jax.Array
+
+
 def _head_input(feats, dataflow: str):
     """Resolve TPU.HEAD_DATAFLOW: 'concat' is the reference dataflow
     (enc_hrnet.py:833-839); 'presum' and 'multiscale' are exact rewrites —
@@ -38,10 +43,11 @@ def _head_input(feats, dataflow: str):
         return feats
     if dataflow == "presum":
         return upsampled_branches(feats)
+    if dataflow != "concat":
+        raise ValueError(
+            f"unknown head dataflow {dataflow!r}: "
+            "expected 'concat', 'presum', or 'multiscale'")
     return concat_upsampled(feats)
-from ..ops.norm import BatchNormAct
-
-Array = jax.Array
 
 _kernel_init = nn.initializers.normal(stddev=0.001)
 

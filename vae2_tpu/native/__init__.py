@@ -38,28 +38,42 @@ def _build() -> Optional[str]:
     so_path = os.path.join(cache_dir, f"clip_decoder_{digest}.so")
     if os.path.isfile(so_path):
         return so_path
-    # unique tmp per process: concurrent builders (other processes sharing
-    # the cache) must not clobber each other's output mid-write
-    tmp_path = f"{so_path}.{os.getpid()}.tmp"
+    # unique tmp per process AND attempt: concurrent builders (other
+    # processes sharing the cache) must not clobber each other's output
+    # mid-write, and a timed-out first g++ may still be writing its tmp
+    # when the -march-stripped retry spawns.
+    tmps = [f"{so_path}.{os.getpid()}.{a}.tmp" for a in (0, 1)]
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17", _SRC,
-        "-o", tmp_path, "-lpng", "-ljpeg", "-lz", "-lpthread",
+        "-o", tmps[0], "-lpng", "-ljpeg", "-lz", "-lpthread",
     ]
+    built = None
     try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=180)
-    except (subprocess.SubprocessError, FileNotFoundError, OSError):
-        # retry without -march=native (non-x86 or older toolchains)
         try:
-            subprocess.run([c for c in cmd if c != "-march=native"],
-                           check=True, capture_output=True, timeout=180)
+            subprocess.run(cmd, check=True, capture_output=True, timeout=180)
+            built = tmps[0]
         except (subprocess.SubprocessError, FileNotFoundError, OSError):
-            return so_path if os.path.isfile(so_path) else None
-    try:
-        os.replace(tmp_path, so_path)
-    except OSError:
-        if not os.path.isfile(so_path):  # lost a race AND no winner: give up
-            return None
-    return so_path
+            # retry without -march=native (non-x86 or older toolchains)
+            try:
+                cmd_retry = [c for c in cmd if c != "-march=native"]
+                cmd_retry[cmd_retry.index(tmps[0])] = tmps[1]
+                subprocess.run(cmd_retry, check=True, capture_output=True,
+                               timeout=180)
+                built = tmps[1]
+            except (subprocess.SubprocessError, FileNotFoundError, OSError):
+                return so_path if os.path.isfile(so_path) else None
+        try:
+            os.replace(built, so_path)
+        except OSError:
+            if not os.path.isfile(so_path):  # lost a race AND no winner
+                return None
+        return so_path
+    finally:
+        for t in tmps:  # failure paths must not leak stale tmps; the
+            try:        # successful tmp was consumed by os.replace already
+                os.remove(t)
+            except OSError:
+                pass
 
 
 def _load() -> bool:
