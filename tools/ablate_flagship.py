@@ -39,6 +39,12 @@ ABLATIONS = {
     "x2lam1_gan0": ["TRAIN.X2RECON_LAMBDA", "1.0", "TRAIN.GAN_LAMBDA", "0.0"],
     # hypothesis 3: LR too conservative for the step budget
     "x2lam1_lr3e-4": ["TRAIN.X2RECON_LAMBDA", "1.0", "TRAIN.LR", "0.0003"],
+    # hypothesis 4 (from tools/grad_diagnosis.py: decoder-recon terms pull
+    # on x2p 1135-1603x harder than the 0.1-weighted direct L1 at init,
+    # GAN terms 100-160x — docs/grad_diag_init_64x128.json): the direct
+    # supervision needs to be within an order of magnitude of the
+    # competing pulls for a short from-scratch run
+    "x2lam10": ["TRAIN.X2RECON_LAMBDA", "10.0"],
 }
 
 LOG_RE = re.compile(
