@@ -98,6 +98,12 @@ def main():
                 f.write(str(CHUNK))
         except OSError:
             pass
+    if os.environ.get("VAE2_BENCH_COMPILE_ONLY") == "1":
+        # warm the persistent compile cache without touching the chip (so a
+        # training run can keep it busy); the real measurement later is a
+        # cache hit
+        print(f"# compile-only: chunk {CHUNK} program cached", flush=True)
+        return
     flops = None
     try:
         ca = compiled.cost_analysis()

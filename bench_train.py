@@ -40,6 +40,11 @@ def parse_args():
                     choices=("float32", "bfloat16"))
     ap.add_argument("--profile-dir", default="",
                     help="jax.profiler trace of 2 post-timing steps")
+    ap.add_argument("--compile-only", action="store_true",
+                    help="lower+compile the step (warming the persistent "
+                         "cache) without executing any training step — lets "
+                         "a concurrent run keep the chip while measurement "
+                         "programs compile remotely")
     ap.add_argument("--height", default=128, type=int)
     ap.add_argument("--width", default=256, type=int)
     ap.add_argument("opts", nargs="*", default=[],
@@ -76,6 +81,23 @@ def main():
     state = system.init(jax.random.PRNGKey(0), example)
     step = system.make_train_step(donate=True, preprocess=normalize_clips,
                                   split=args.split)
+
+    if args.compile_only:
+        k0 = jax.random.PRNGKey(1)
+        mult0 = jnp.float32(1.0)
+        if args.split:
+            step.g_jit.lower(state, batch, k0, mult0).compile()
+            if step.run_d_step:
+                x2p_spec = jax.ShapeDtypeStruct(
+                    (b, h, w, 9), jnp.dtype(cfg.TPU.DTYPE))
+                step.d_jit.lower(state, batch["x2t"], x2p_spec).compile()
+        else:
+            step.lower(state, batch, k0, mult0).compile()
+        print(json.dumps({"compile_only": True, "batch": b, "hw": [h, w],
+                          "split": args.split, "remat": args.remat,
+                          "adam_moments": args.adam_moments,
+                          "opts": args.opts}), flush=True)
+        return
 
     from vae2_tpu.utils.benchtime import fetch_sync, time_loop
 
