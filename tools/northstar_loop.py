@@ -103,10 +103,21 @@ def main():
                          "of each per epoch in the default mode")
     ap.add_argument("--eval-points", default=4, type=int,
                     help="number of trajectory points in --one-shot mode")
+    ap.add_argument("--resume", action="store_true",
+                    help="continue an interrupted --one-shot run: keep the "
+                         "existing checkpoint dir, skip the epoch-0 "
+                         "(re)train, and let AUTO_RESUME pick training up "
+                         "from checkpoint.msgpack")
     args = ap.parse_args()
 
     cfg_name = os.path.basename(args.cfg).split(".")[0]
 
+    # create_logger nests output under DATASET.DATASET — read it from the
+    # cfg so UCF (ucfsequence) recipes drive the same loop
+    import yaml
+    with open(os.path.join(REPO, args.cfg)) as f:
+        dataset_name = (yaml.safe_load(f).get("DATASET") or {}).get(
+            "DATASET", "cityscapessequence")
     if not os.path.isfile(os.path.join(REPO, args.data, "train_list.txt")):
         run([sys.executable, os.path.join(TOOLS, "gen_synthetic_data.py"),
              "--out", args.data, "--num-videos", "16",
@@ -117,7 +128,7 @@ def main():
                    "DATASET.TEST_SET", f"{args.data}/test_list.txt",
                    "TPU.LAYER_SUMMARY", "False"]
     # create_logger: OUTPUT_DIR / dataset / cfg_name
-    final_dir = os.path.join(REPO, args.out, "cityscapessequence", cfg_name)
+    final_dir = os.path.join(REPO, args.out, dataset_name, cfg_name)
 
     import shutil
 
@@ -138,11 +149,21 @@ def main():
             cmd += ["--checkpoint", ckpt]
         run(cmd + common_opts + ["TEST.NUM_SAMPLES", str(args.eval_clips)])
 
-    if args.eval_epoch0 and os.path.isfile(
+    if args.eval_epoch0 and not args.resume and os.path.isfile(
             os.path.join(final_dir, "checkpoint.msgpack")):
         raise SystemExit(
             f"{final_dir} already holds a checkpoint — the epoch-0 baseline "
-            "would silently evaluate trained weights. Use a fresh --out.")
+            "would silently evaluate trained weights. Use a fresh --out "
+            "(or --resume to continue an interrupted one-shot run).")
+    if args.resume:
+        if not args.one_shot:
+            raise SystemExit("--resume only applies to --one-shot runs")
+        if args.eval_epoch0 and not os.path.isfile(
+                os.path.join(final_dir, "checkpoint_epoch0000.msgpack")):
+            raise SystemExit(
+                f"--resume with epoch-0 row needs "
+                f"{final_dir}/checkpoint_epoch0000.msgpack from the "
+                "interrupted run")
 
     trajectory = []
 
@@ -186,11 +207,12 @@ def main():
         points = sorted(set(range(stride, args.epochs + 1, stride))
                         | {args.epochs})
         if args.eval_epoch0:
-            # untrained init snapshot (epoch 0)
-            run_train(0)
-            shutil.copy(
-                os.path.join(final_dir, "model_final_state.msgpack"),
-                os.path.join(final_dir, "checkpoint_epoch0000.msgpack"))
+            if not args.resume:
+                # untrained init snapshot (epoch 0)
+                run_train(0)
+                shutil.copy(
+                    os.path.join(final_dir, "model_final_state.msgpack"),
+                    os.path.join(final_dir, "checkpoint_epoch0000.msgpack"))
             points = [0] + points
         # the whole training run, snapshotting every ``stride`` epochs
         run_train(args.epochs, ["TRAIN.SNAPSHOT_EVERY", str(stride)])
