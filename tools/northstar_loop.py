@@ -108,7 +108,15 @@ def main():
                          "existing checkpoint dir, skip the epoch-0 "
                          "(re)train, and let AUTO_RESUME pick training up "
                          "from checkpoint.msgpack")
+    ap.add_argument("opts", nargs=argparse.REMAINDER,
+                    help="extra KEY VALUE config overrides forwarded to "
+                         "every train/inference stage (e.g. PRINT_FREQ 3 "
+                         "TRAIN.LR_SCHEDULE poly)")
     args = ap.parse_args()
+    if args.opts and args.opts[0] == "--":
+        args.opts = args.opts[1:]
+    if len(args.opts) % 2:
+        raise SystemExit(f"opts must be KEY VALUE pairs, got {args.opts}")
 
     cfg_name = os.path.basename(args.cfg).split(".")[0]
 
@@ -126,7 +134,7 @@ def main():
     common_opts = ["OUTPUT_DIR", args.out, "DATASET.ROOT", args.data,
                    "DATASET.TRAIN_SET", f"{args.data}/train_list.txt",
                    "DATASET.TEST_SET", f"{args.data}/test_list.txt",
-                   "TPU.LAYER_SUMMARY", "False"]
+                   "TPU.LAYER_SUMMARY", "False"] + list(args.opts)
     # create_logger: OUTPUT_DIR / dataset / cfg_name
     final_dir = os.path.join(REPO, args.out, dataset_name, cfg_name)
 

@@ -52,9 +52,12 @@ def main():
     except ImportError:  # pragma: no cover
         writer_dict = None
 
-    system = build_system(config)
     loader = ToyLoader(batch_size=config.TRAIN.BATCH_SIZE_PER_GPU,
                        shuffle_seed=args.seed)
+    system = build_system(
+        config,
+        max_iters=len(loader) * (config.TRAIN.END_EPOCH
+                                 + config.TRAIN.EXTRA_EPOCH))
 
     rng = jax.random.PRNGKey(args.seed)
     rng, init_rng = jax.random.split(rng)

@@ -69,8 +69,6 @@ def main():
     logger.info("Device mesh: %s", mesh)
     device_put = shard_batch_fn(mesh)
 
-    system = build_system(config)
-
     # Data: per-host sharded threaded loader (replaces DataLoader workers +
     # DistributedSampler, train.py:129-141).
     train_dataset = make_dataset(config, config.DATASET.TRAIN_SET,
@@ -96,6 +94,12 @@ def main():
             process_count=jax.process_count(), prefetch=config.TPU.PREFETCH)
     else:
         extra_loader = None
+
+    # steps-per-epoch is only needed when TRAIN.LR_SCHEDULE decays per-iter
+    system = build_system(
+        config,
+        max_iters=len(loader) * (config.TRAIN.END_EPOCH
+                                 + config.TRAIN.EXTRA_EPOCH))
 
     rng = jax.random.PRNGKey(args.seed)
     rng, init_rng = jax.random.split(rng)

@@ -114,6 +114,11 @@ def get_default_config() -> ConfigNode:
     cfg.TRAIN.LR_FACTOR = 0.1
     cfg.TRAIN.LR_STEP = [90, 110]
     cfg.TRAIN.LR = 0.01
+    # '' = constant (reference adversarial training keeps poly decay
+    # commented out, function.py:525-528); 'poly' = per-iter
+    # lr*(1-i/max_iters)^LR_POWER (reference utils.py:459-463)
+    cfg.TRAIN.LR_SCHEDULE = ""
+    cfg.TRAIN.LR_POWER = 0.9
     cfg.TRAIN.EXTRA_LR = 0.001
     cfg.TRAIN.OPTIMIZER = "sgd"
     cfg.TRAIN.MOMENTUM = 0.9

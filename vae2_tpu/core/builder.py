@@ -11,7 +11,9 @@ from typing import Dict
 from .system import Hyper, VAE2System, make_optimizer
 
 
-def build_system(config) -> VAE2System:
+def build_system(config, max_iters: int = 0) -> VAE2System:
+    """``max_iters`` (END_EPOCH * steps-per-epoch) is only consulted when
+    TRAIN.LR_SCHEDULE selects a decaying schedule."""
     from ..ops.norm import set_default_bn_backend
 
     set_default_bn_backend(config.TPU.FUSED_ABN)
@@ -67,5 +69,6 @@ def build_system(config) -> VAE2System:
 
     opt = make_optimizer(
         config.TRAIN,
-        moment_dtype=str(config.TPU.get("ADAM_MOMENT_DTYPE", "float32")))
+        moment_dtype=str(config.TPU.get("ADAM_MOMENT_DTYPE", "float32")),
+        max_iters=max_iters)
     return VAE2System(modules, hyper, optimizer_g=opt, optimizer_d=opt)

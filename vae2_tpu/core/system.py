@@ -113,20 +113,42 @@ def scale_by_adam_lowp(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
     return optax.GradientTransformation(init, update)
 
 
-def make_optimizer(cfg_train,
-                   moment_dtype: str = "float32") -> optax.GradientTransformation:
+def make_optimizer(cfg_train, moment_dtype: str = "float32",
+                   max_iters: int = 0) -> optax.GradientTransformation:
     """Build the optimizer matching reference tools/train.py:232-263.
 
     torch SGD applies weight decay as an L2 gradient term *before* the
     momentum buffer — ``add_decayed_weights`` then ``sgd`` reproduces it.
     ``moment_dtype`` (TPU.ADAM_MOMENT_DTYPE) selects Adam moment storage.
+
+    ``TRAIN.LR_SCHEDULE='poly'`` applies the reference family's per-iter
+    poly decay lr*(1-i/max_iters)^LR_POWER (reference utils.py:459-463).
+    The reference keeps that call commented out in adversarial training
+    (function.py:525-528), so the default here is constant LR; the knob is
+    a measured stabilizer for the long synthetic-data GAN runs.
     """
     name = cfg_train.OPTIMIZER.lower()
+    schedule_name = str(cfg_train.get("LR_SCHEDULE", "")).lower()
+    if schedule_name in ("", "constant", "none"):
+        lr = cfg_train.LR
+    elif schedule_name == "poly":
+        if max_iters <= 0:
+            raise ValueError(
+                "TRAIN.LR_SCHEDULE='poly' needs max_iters > 0 "
+                "(END_EPOCH * steps-per-epoch) from the caller")
+        power = float(cfg_train.get("LR_POWER", 0.9))
+        base = float(cfg_train.LR)
+
+        def lr(count):  # noqa: ANN001 — optax schedule signature
+            frac = jnp.minimum(count.astype(jnp.float32) / max_iters, 1.0)
+            return base * (1.0 - frac) ** power
+    else:
+        raise ValueError(f"bad TRAIN.LR_SCHEDULE {schedule_name!r}")
     if name == "sgd":
         return optax.chain(
             optax.add_decayed_weights(cfg_train.WD),
             optax.sgd(
-                learning_rate=cfg_train.LR,
+                learning_rate=lr,
                 momentum=cfg_train.MOMENTUM,
                 nesterov=cfg_train.NESTEROV,
             ),
@@ -135,10 +157,13 @@ def make_optimizer(cfg_train,
         if moment_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"bad ADAM_MOMENT_DTYPE {moment_dtype!r}")
         if moment_dtype == "bfloat16":
+            if callable(lr):
+                scale = optax.scale_by_schedule(lambda c: -lr(c))
+            else:
+                scale = optax.scale(-lr)
             return optax.chain(
-                scale_by_adam_lowp(moment_dtype=jnp.bfloat16),
-                optax.scale(-cfg_train.LR))
-        return optax.adam(learning_rate=cfg_train.LR)
+                scale_by_adam_lowp(moment_dtype=jnp.bfloat16), scale)
+        return optax.adam(learning_rate=lr)
     raise ValueError("Only Support SGD and ADAM optimizer")
 
 
