@@ -84,7 +84,10 @@ def main():
             compiled = sampler.lower(state, xt, x2t, rng).compile()
             CHUNK = chunk
             break
-        except Exception as e:  # noqa: BLE001
+        except jax.errors.JaxRuntimeError as e:
+            # jaxlib doesn't expose the XLA status code as an attribute, so
+            # the RESOURCE_EXHAUSTED discrimination still reads the message —
+            # but only for runtime errors (trace-time bugs propagate).
             if ("RESOURCE_EXHAUSTED" not in str(e)
                     and "Ran out of memory" not in str(e)):
                 raise
